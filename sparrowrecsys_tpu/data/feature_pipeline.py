@@ -1,0 +1,299 @@
+"""Vectorized MovieLens feature engineering.
+
+Reproduces the semantics of the reference Spark job
+`offline/spark/featureeng/FeatureEngForRecModel.scala` (and its PySpark
+mirror) as O(N) numpy segment operations instead of a DataFrame engine:
+
+- `addSampleLabel` (scala:27-37): label = rating >= 3.5.
+- `addMovieFeatures` (scala:46-88): join movies, releaseYear from title
+  suffix (default 1990), movieGenre1..3 = first three genres, per-movie
+  rating count / avg (2dp) / sample stddev (2dp, NaN->0).
+- `addUserFeatures` (scala:96-142): ALL user features over the trailing
+  window `rowsBetween(-100, -1)` partitioned by userId ordered by timestamp:
+  userRatedMovie1..5 = last 5 positive movieIds most-recent-first,
+  userRatingCount, userAvgReleaseYear (int cast), userReleaseYearStddev,
+  userAvgRating, userRatingStddev (2dp), userGenre1..5 = genres of positive
+  history ranked by frequency; then filter userRatingCount > 1.
+- `splitAndSaveTrainingTestSamples` (scala:195-212) and the timestamp
+  variant (scala:214-237).
+
+Documented divergences from the reference (AUC-invisible):
+- Genre frequency ties are broken by vocabulary order; the reference breaks
+  ties by first-seen order in the history (Scala stable sort over a
+  ListMap). Both are arbitrary total orders over equal counts.
+- Rows with identical (userId, timestamp) keep input order (stable sort);
+  Spark's ordering on ties is partition-nondeterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sparrowrecsys_tpu.config import (
+    GENRE_VOCAB,
+    NUMBER_PRECISION,
+    POSITIVE_RATING_THRESHOLD,
+    USER_FEATURE_WINDOW,
+)
+from sparrowrecsys_tpu.data.movielens import MovieCatalog, Ratings
+from sparrowrecsys_tpu.data.schema import SampleTable
+
+
+def _round_half_up(x: np.ndarray, decimals: int = NUMBER_PRECISION) -> np.ndarray:
+    """Spark's format_number rounds HALF_UP; numpy rounds half-even."""
+    scale = 10.0 ** decimals
+    out = np.floor(np.abs(x) * scale + 0.5) / scale
+    return np.sign(x) * out
+
+
+def _sample_std(count: np.ndarray, total: np.ndarray, total_sq: np.ndarray) -> np.ndarray:
+    """Sample (n-1) stddev from moment sums; 0 where count < 2 (Spark
+    stddev yields NaN there and the pipeline na.fill(0)s it)."""
+    count = count.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (total_sq - total * total / np.maximum(count, 1.0)) / np.maximum(count - 1.0, 1.0)
+    var = np.maximum(var, 0.0)
+    std = np.sqrt(var)
+    std[count < 2] = 0.0
+    return std
+
+
+def _build_genre_tables(
+    catalog: MovieCatalog,
+) -> Tuple[Dict[str, int], np.ndarray, np.ndarray, np.ndarray]:
+    """Return (extended vocab map, per-movie genre matrix [M, V] 0/1,
+    per-movie first-3 genre indices in the 19-genre model vocab [-1 pad],
+    map extended->model vocab index)."""
+    vocab: Dict[str, int] = {g: i for i, g in enumerate(GENRE_VOCAB)}
+    # Movies may carry genres outside the model vocabulary (e.g.
+    # "(no genres listed)"); the reference counts them in user-genre
+    # frequency and lets TF map them to OOV. Extend the counting vocab.
+    for gs in catalog.genres:
+        for g in gs:
+            if g not in vocab:
+                vocab[g] = len(vocab)
+    v = len(vocab)
+    m = len(catalog)
+    genre_matrix = np.zeros((m, v), dtype=np.int32)
+    movie_genre3 = np.full((m, 3), -1, dtype=np.int32)
+    for i, gs in enumerate(catalog.genres):
+        for j, g in enumerate(gs):
+            genre_matrix[i, vocab[g]] = 1
+            if j < 3:
+                # model vocab index, or -1 (OOV) if outside the 19 genres
+                movie_genre3[i, j] = vocab[g] if vocab[g] < len(GENRE_VOCAB) else -1
+    ext_to_model = np.full(v, -1, dtype=np.int32)
+    ext_to_model[: len(GENRE_VOCAB)] = np.arange(len(GENRE_VOCAB))
+    return vocab, genre_matrix, movie_genre3, ext_to_model
+
+
+def build_samples(
+    ratings: Ratings,
+    catalog: MovieCatalog,
+    window: int = USER_FEATURE_WINDOW,
+    min_user_rating_count: int = 2,
+) -> SampleTable:
+    """Run the full labeling + movie-feature + user-feature pipeline.
+
+    Returns a SampleTable with all 27 canonical columns (genres as model
+    vocab indices, history movieIds with 0 = missing), in the input row
+    order, filtered to userRatingCount >= min_user_rating_count
+    (`FeatureEngForRecModel.scala:136` filters > 1).
+    """
+    n = len(ratings)
+    if n == 0:
+        empty_i = np.empty(0, dtype=np.int32)
+        empty_f = np.empty(0, dtype=np.float32)
+        cols = {}
+        for c in ("movieId", "userId", "label", "releaseYear", "movieGenre1",
+                  "movieGenre2", "movieGenre3", "userRatedMovie1",
+                  "userRatedMovie2", "userRatedMovie3", "userRatedMovie4",
+                  "userRatedMovie5", "userAvgReleaseYear"):
+            cols[c] = empty_i
+        for c in ("rating", "movieAvgRating", "movieRatingStddev",
+                  "userReleaseYearStddev", "userAvgRating", "userRatingStddev"):
+            cols[c] = empty_f
+        cols["timestamp"] = np.empty(0, dtype=np.int64)
+        for c in ("movieRatingCount", "userRatingCount"):
+            cols[c] = np.empty(0, dtype=np.int64)
+        for c in ("userGenre1", "userGenre2", "userGenre3", "userGenre4", "userGenre5"):
+            cols[c] = empty_i
+        return SampleTable(cols)
+    uid = ratings.user_ids.astype(np.int64)
+    mid = ratings.movie_ids.astype(np.int64)
+    rating = ratings.ratings.astype(np.float64)
+    ts = ratings.timestamps.astype(np.int64)
+
+    label = (rating >= POSITIVE_RATING_THRESHOLD).astype(np.int32)
+
+    # ---- movie join ------------------------------------------------------
+    _, genre_matrix, movie_genre3, ext_to_model = _build_genre_tables(catalog)
+    # Map each rating's movieId to a catalog row (missing -> -1).
+    max_mid = max(int(catalog.movie_ids.max()), int(mid.max()))
+    id_to_row = np.full(max_mid + 1, -1, dtype=np.int64)
+    id_to_row[catalog.movie_ids.astype(np.int64)] = np.arange(len(catalog))
+    mrow = id_to_row[mid]
+    has_movie = mrow >= 0
+    safe_mrow = np.where(has_movie, mrow, 0)
+
+    release_year = np.where(
+        has_movie, catalog.release_years[safe_mrow], 1990
+    ).astype(np.int32)
+    mg = np.where(has_movie[:, None], movie_genre3[safe_mrow], -1).astype(np.int32)
+
+    # Per-movie rating stats over ALL sample rows (scala:76-80).
+    uniq_mid, inv = np.unique(mid, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    tot = np.bincount(inv, weights=rating)
+    tot_sq = np.bincount(inv, weights=rating * rating)
+    movie_avg = _round_half_up(tot / cnt)
+    movie_std = _round_half_up(_sample_std(cnt, tot, tot_sq))
+    movie_rating_count = cnt[inv].astype(np.int64)
+    movie_avg_rating = movie_avg[inv]
+    movie_rating_std = movie_std[inv]
+
+    # ---- user windowed features -----------------------------------------
+    # Stable sort by (userId, timestamp); ties keep input order.
+    order = np.lexsort((np.arange(n), ts, uid))
+    inv_order = np.empty(n, dtype=np.int64)
+    inv_order[order] = np.arange(n)
+
+    uid_s = uid[order]
+    mid_s = mid[order]
+    rating_s = rating[order]
+    label_s = label[order]
+    year_s = release_year[order].astype(np.float64)
+
+    # Segment starts (first sorted index of each user's block).
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = uid_s[1:] != uid_s[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+
+    idx = np.arange(n)
+    ws = np.maximum(seg_start, idx - window)  # window = [ws, i)
+    win_cnt = (idx - ws).astype(np.int64)
+
+    def _win_sum(x: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0.0], np.cumsum(x)])
+        return cs[idx] - cs[ws]
+
+    user_rating_count = win_cnt
+    r_sum = _win_sum(rating_s)
+    r_sq = _win_sum(rating_s * rating_s)
+    y_sum = _win_sum(year_s)
+    y_sq = _win_sum(year_s * year_s)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        user_avg_rating = np.where(win_cnt > 0, r_sum / np.maximum(win_cnt, 1), 0.0)
+        user_avg_year = np.where(win_cnt > 0, y_sum / np.maximum(win_cnt, 1), 0.0)
+    user_avg_rating = _round_half_up(user_avg_rating)
+    # Spark casts avg(releaseYear) to IntegerType (truncation toward zero).
+    user_avg_year_i = user_avg_year.astype(np.int64)
+    user_rating_std = _round_half_up(_sample_std(win_cnt, r_sum, r_sq))
+    user_year_std = _round_half_up(_sample_std(win_cnt, y_sum, y_sq))
+
+    # Positive-history chain: hist_k[i] = sorted index of the k-th most
+    # recent positive row strictly before i (within the same user segment
+    # and the trailing window).
+    pos_idx = np.where(label_s == 1, idx, -1)
+    acc = np.maximum.accumulate(pos_idx)          # most recent positive <= i
+    prev_pos = np.full(n, -1, dtype=np.int64)     # most recent positive < i
+    prev_pos[1:] = acc[:-1]
+
+    hist = np.full((5, n), -1, dtype=np.int64)
+    cur = prev_pos.copy()
+    for k in range(5):
+        # Validity: same segment and inside window. A cross-segment
+        # candidate implies no in-segment positive exists (indices grow).
+        valid = (cur >= seg_start) & (cur >= idx - window) & (cur >= 0)
+        hist[k] = np.where(valid, cur, -1)
+        nxt = np.where(hist[k] >= 0, prev_pos[np.maximum(hist[k], 0)], -1)
+        cur = nxt
+    hist_movies = np.where(hist >= 0, mid_s[np.maximum(hist, 0)], 0).astype(np.int64)
+
+    # Positive-history genre frequency over the window.
+    ext_v = genre_matrix.shape[1]
+    mrow_s = np.where(has_movie[order], id_to_row[mid_s], -1)
+    row_genres = np.where(
+        (mrow_s >= 0)[:, None] & (label_s == 1)[:, None],
+        genre_matrix[np.maximum(mrow_s, 0)],
+        0,
+    ).astype(np.int64)
+    gcs = np.concatenate(
+        [np.zeros((1, ext_v), dtype=np.int64), np.cumsum(row_genres, axis=0)]
+    )
+    gwin = gcs[idx] - gcs[ws]                      # [n, V] counts
+    # Rank genres by count desc; ties by vocab index (documented divergence).
+    top5 = np.argsort(-gwin, axis=1, kind="stable")[:, :5]
+    top5_counts = np.take_along_axis(gwin, top5, axis=1)
+    user_genres = np.where(top5_counts > 0, ext_to_model[top5], -1).astype(np.int32)
+
+    # ---- assemble in original row order -----------------------------------
+    def back(x: np.ndarray) -> np.ndarray:
+        return x[inv_order]
+
+    cols: Dict[str, np.ndarray] = {
+        "movieId": mid.astype(np.int32),
+        "userId": uid.astype(np.int32),
+        "rating": rating.astype(np.float32),
+        "timestamp": ts,
+        "label": label,
+        "releaseYear": release_year,
+        "movieGenre1": mg[:, 0],
+        "movieGenre2": mg[:, 1],
+        "movieGenre3": mg[:, 2],
+        "movieRatingCount": movie_rating_count,
+        "movieAvgRating": movie_avg_rating.astype(np.float32),
+        "movieRatingStddev": movie_rating_std.astype(np.float32),
+        "userRatedMovie1": back(hist_movies[0]).astype(np.int32),
+        "userRatedMovie2": back(hist_movies[1]).astype(np.int32),
+        "userRatedMovie3": back(hist_movies[2]).astype(np.int32),
+        "userRatedMovie4": back(hist_movies[3]).astype(np.int32),
+        "userRatedMovie5": back(hist_movies[4]).astype(np.int32),
+        "userRatingCount": back(user_rating_count),
+        "userAvgReleaseYear": back(user_avg_year_i).astype(np.int32),
+        "userReleaseYearStddev": back(user_year_std).astype(np.float32),
+        "userAvgRating": back(user_avg_rating).astype(np.float32),
+        "userRatingStddev": back(user_rating_std).astype(np.float32),
+        "userGenre1": back(user_genres[:, 0]),
+        "userGenre2": back(user_genres[:, 1]),
+        "userGenre3": back(user_genres[:, 2]),
+        "userGenre4": back(user_genres[:, 3]),
+        "userGenre5": back(user_genres[:, 4]),
+    }
+    keep = cols["userRatingCount"] >= min_user_rating_count
+    return SampleTable({k: v[keep] for k, v in cols.items()})
+
+
+def split_samples(
+    table: SampleTable,
+    sample_fraction: float = 1.0,
+    train_fraction: float = 0.8,
+    by_time: bool = False,
+    seed: int = 2024,
+) -> Tuple[SampleTable, SampleTable]:
+    """Random-subsample then split train/test.
+
+    Random mode mirrors `splitAndSaveTrainingTestSamples` (scala:195-212):
+    sample a fraction, then random 80/20. Time mode mirrors
+    `splitAndSaveTrainingTestSamplesByTimeStamp` (scala:214-237): split at
+    the train_fraction quantile of timestamps.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(table)
+    idx = np.arange(n)
+    if sample_fraction < 1.0:
+        idx = idx[rng.random(n) < sample_fraction]
+    if by_time:
+        ts = table["timestamp"][idx]
+        cut = np.quantile(ts, train_fraction)
+        train_idx = idx[ts <= cut]
+        test_idx = idx[ts > cut]
+    else:
+        mask = rng.random(len(idx)) < train_fraction
+        train_idx = idx[mask]
+        test_idx = idx[~mask]
+    return table.select(train_idx), table.select(test_idx)

@@ -1,0 +1,69 @@
+"""Test fixtures: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding logic is validated on virtual CPU devices
+(`--xla_force_host_platform_device_count=8`); real-TPU runs happen via
+bench.py / the driver.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_SAMPLEDATA = "/root/reference/src/main/resources/webroot/sampledata"
+
+
+@pytest.fixture(scope="session")
+def reference_test_samples_path():
+    path = os.path.join(REFERENCE_SAMPLEDATA, "testSamples.csv")
+    if not os.path.exists(path):
+        pytest.skip("reference testSamples.csv not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def reference_movies_path():
+    path = os.path.join(REFERENCE_SAMPLEDATA, "movies.csv")
+    if not os.path.exists(path):
+        pytest.skip("reference movies.csv not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def repo_data_root():
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+    return root
+
+
+@pytest.fixture
+def tiny_catalog():
+    """Three movies with known years/genres for hand-computed tests."""
+    from sparrowrecsys_tpu.data.movielens import MovieCatalog
+
+    return MovieCatalog(
+        movie_ids=np.array([1, 2, 3], dtype=np.int32),
+        titles=["A", "B", "C"],
+        release_years=np.array([2000, 2010, 1990], dtype=np.int32),
+        genres=[["Action", "Comedy"], ["Action"], ["Drama"]],
+        id_to_row={1: 0, 2: 1, 3: 2},
+        genre_index={"Action": [1, 2], "Comedy": [1], "Drama": [3]},
+    )
+
+
+@pytest.fixture
+def tiny_ratings():
+    from sparrowrecsys_tpu.data.movielens import Ratings
+
+    return Ratings(
+        user_ids=np.array([1, 1, 1, 1], dtype=np.int32),
+        movie_ids=np.array([1, 2, 3, 1], dtype=np.int32),
+        ratings=np.array([4.0, 3.0, 5.0, 4.0], dtype=np.float32),
+        timestamps=np.array([1, 2, 3, 4], dtype=np.int64),
+    )

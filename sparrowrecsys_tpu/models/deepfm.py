@@ -1,0 +1,151 @@
+"""DeepFM v1 and v2, rebuilds of `TFRecModel/.../DeepFM.py` and `DeepFM_v2.py`.
+
+v1 (DeepFM.py:56-118):
+- first order: indicator one-hots of movieId/userId/userGenre1/movieGenre1
+  feeding the final Dense(1) — here folded into per-bucket bias gathers
+  (`IdBias`), numerically identical and gather-cheap on TPU.
+- second order: 4 pairwise dot products of {movie, user, movieGenre1,
+  userGenre1} embeddings (movie/user tables SHARED with the deep tower,
+  as the reference reuses the same feature-column objects).
+- deep: 7 numerics + movie emb + user emb -> Dense(64, relu) x 2.
+- concat(first, dots, deep) -> Dense(1, sigmoid).
+
+v2 (DeepFM_v2.py:99-159) — true FM cross:
+- first order: Dense(1) over cat one-hots (-> IdBias sum) + Dense(1) over
+  7 numerics, added.
+- fields: 4 embeddings + the numeric vector, each projected by its own
+  Dense(64) -> stacked [B, 5, 64].
+- FM second order: sum-square minus square-sum over the field axis — the
+  classic O(F*D) FM identity; `sparrowrecsys_tpu.ops.fm.fm_cross` provides
+  the fused Pallas kernel with an XLA fallback.
+- deep: flattened fields -> Dense(32, relu) -> Dense(16, relu).
+- concat(first, fm, deep) -> Dense(1, sigmoid).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparrowrecsys_tpu.config import EMBEDDING_DIM, MOVIE_VOCAB_SIZE, USER_VOCAB_SIZE
+from sparrowrecsys_tpu.models.features import (
+    GenreEmbed,
+    IdBias,
+    IdEmbed,
+    numeric_stack,
+)
+from sparrowrecsys_tpu.ops.fm import fm_cross
+
+
+class DeepFM(nn.Module):
+    """DeepFM v1 — pairwise-dot FM."""
+
+    deep_hidden: int = 64
+    dim: int = EMBEDDING_DIM
+    movie_buckets: int = MOVIE_VOCAB_SIZE
+    user_buckets: int = USER_VOCAB_SIZE
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        item = IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(
+            features["movieId"]
+        )
+        user = IdEmbed(self.user_buckets, self.dim, name="emb_userId")(
+            features["userId"]
+        )
+        item_genre = GenreEmbed(dim=self.dim, name="emb_movieGenre1")(
+            features["movieGenre1"]
+        )
+        user_genre = GenreEmbed(dim=self.dim, name="emb_userGenre1")(
+            features["userGenre1"]
+        )
+
+        # First-order: per-bucket scalar weights of the indicator columns.
+        first = (
+            IdBias(self.movie_buckets, name="bias_movieId")(features["movieId"])
+            + IdBias(self.user_buckets, name="bias_userId")(features["userId"])
+            + IdBias(19, oov_is_negative=True, name="bias_userGenre1")(
+                features["userGenre1"]
+            )
+            + IdBias(19, oov_is_negative=True, name="bias_movieGenre1")(
+                features["movieGenre1"]
+            )
+        )
+
+        # Second-order pairwise dots (DeepFM.py:93-106).
+        dots = jnp.stack(
+            [
+                jnp.sum(item * user, axis=-1),
+                jnp.sum(item_genre * user_genre, axis=-1),
+                jnp.sum(item_genre * user, axis=-1),
+                jnp.sum(item * user_genre, axis=-1),
+            ],
+            axis=-1,
+        )
+
+        deep = jnp.concatenate([numeric_stack(features), item, user], axis=-1)
+        deep = nn.relu(nn.Dense(self.deep_hidden, name="deep1")(deep))
+        deep = nn.relu(nn.Dense(self.deep_hidden, name="deep2")(deep))
+
+        x = jnp.concatenate([dots, deep], axis=-1)
+        return nn.Dense(1, name="out")(x)[..., 0] + first
+
+
+class DeepFMv2(nn.Module):
+    """DeepFM v2 — full FM cross via sum-square minus square-sum."""
+
+    field_dim: int = 64
+    dim: int = EMBEDDING_DIM
+    movie_buckets: int = MOVIE_VOCAB_SIZE
+    user_buckets: int = USER_VOCAB_SIZE
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        item = IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(
+            features["movieId"]
+        )
+        user = IdEmbed(self.user_buckets, self.dim, name="emb_userId")(
+            features["userId"]
+        )
+        item_genre = GenreEmbed(dim=self.dim, name="emb_movieGenre1")(
+            features["movieGenre1"]
+        )
+        user_genre = GenreEmbed(dim=self.dim, name="emb_userGenre1")(
+            features["userGenre1"]
+        )
+        numerics = numeric_stack(features)
+
+        first = (
+            IdBias(self.movie_buckets, name="bias_movieId")(features["movieId"])
+            + IdBias(self.user_buckets, name="bias_userId")(features["userId"])
+            + IdBias(19, oov_is_negative=True, name="bias_userGenre1")(
+                features["userGenre1"]
+            )
+            + IdBias(19, oov_is_negative=True, name="bias_movieGenre1")(
+                features["movieGenre1"]
+            )
+            + nn.Dense(1, name="first_deep")(numerics)[..., 0]
+        )
+
+        # Per-field Dense(64) projections -> [B, 5, 64] (DeepFM_v2.py:107-128).
+        fields = jnp.stack(
+            [
+                nn.Dense(self.field_dim, name="proj_itemGenre")(item_genre),
+                nn.Dense(self.field_dim, name="proj_item")(item),
+                nn.Dense(self.field_dim, name="proj_userGenre")(user_genre),
+                nn.Dense(self.field_dim, name="proj_user")(user),
+                nn.Dense(self.field_dim, name="proj_numeric")(numerics),
+            ],
+            axis=1,
+        )
+
+        fm = fm_cross(fields)  # [B, 64]
+
+        deep = fields.reshape(fields.shape[0], -1)
+        deep = nn.relu(nn.Dense(32, name="deep1")(deep))
+        deep = nn.relu(nn.Dense(16, name="deep2")(deep))
+
+        x = jnp.concatenate([first[:, None], fm, deep], axis=-1)
+        return nn.Dense(1, name="out")(x)[..., 0]

@@ -1,0 +1,187 @@
+"""DIEN (Deep Interest Evolution Network), rebuild of `TFRecModel/.../DIEN.py`.
+
+Reference graph (DIEN.py:162-310):
+- shared Embedding(1001, 10, mask_zero) over candidate / behaviour sequence
+  / per-step negative movies (DIEN.py:173-178);
+- GRU(10, return_sequences) over the behaviour embeddings (DIEN.py:181);
+- attention: sigmoid Dense(32) -> Dense(1) over hidden*candidate, broadcast
+  over the embedding dim (DIEN.py:184-213);
+- AUGRU with attention-scaled update (DIEN.py:217-262) — `ops.augru.augru`
+  restates the unrolled loop as `lax.scan`;
+- towers + Dense(128)/PReLU/Dense(64)/PReLU/Dense(1, sigmoid) (DIEN.py:266-272);
+- auxiliary head (DIEN.py:275-308): two sigmoid MLPs score
+  (hidden_t, behaviour_{t+1}) and (hidden_t, negative_{t+1});
+  reference loss = BCE(y, y_pred) - alpha * mean(sum_t(pos_t + neg_t)),
+  alpha = 0.5.
+
+`aux_mode` selects the loss semantics:
+- "reference": the exact math above (it *rewards* large aux scores — a
+  reference quirk, preserved as the parity default);
+- "paper": the published DIEN auxiliary loss,
+  -log(pos) - log(1 - neg), which is what the architecture intends.
+
+Negative samples are generated in the data layer
+(`sparrowrecsys_tpu.data.negatives.add_dien_negatives`) with a seeded JAX
+RNG, replacing the pandas/random hack at DIEN.py:31-49.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparrowrecsys_tpu.config import EMBEDDING_DIM, MOVIE_VOCAB_SIZE, USER_VOCAB_SIZE
+from sparrowrecsys_tpu.models.features import (
+    GenreEmbed,
+    IdEmbed,
+    PReLU,
+    history_stack,
+    numeric_stack,
+)
+from sparrowrecsys_tpu.ops.augru import (
+    AUGRUGate,
+    AUGRUParams,
+    GRUParams,
+    augru,
+    gru,
+)
+
+NEGATIVE_COLS = (
+    "negativeUserRatedMovie2", "negativeUserRatedMovie3",
+    "negativeUserRatedMovie4", "negativeUserRatedMovie5",
+)
+
+
+class DIEN(nn.Module):
+    dim: int = EMBEDDING_DIM
+    movie_buckets: int = MOVIE_VOCAB_SIZE
+    user_buckets: int = USER_VOCAB_SIZE
+    aux_mode: str = "reference"  # or "paper"
+    alpha: float = 0.5
+
+    def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
+        return GRUParams(
+            kernel=self.param(
+                f"{name}_kernel", nn.initializers.lecun_normal(), (in_dim, 3 * h_dim)
+            ),
+            recurrent=self.param(
+                f"{name}_recurrent", nn.initializers.orthogonal(), (h_dim, 3 * h_dim)
+            ),
+            bias=self.param(f"{name}_bias", nn.initializers.zeros, (3 * h_dim,)),
+        )
+
+    def _augru_gate(self, name: str, h_dim: int) -> AUGRUGate:
+        return AUGRUGate(
+            w=self.param(
+                f"{name}_w", nn.initializers.lecun_normal(), (h_dim, h_dim)
+            ),
+            b=self.param(f"{name}_b", nn.initializers.zeros, (h_dim,)),
+            u=self.param(
+                f"{name}_u", nn.initializers.lecun_normal(), (h_dim, h_dim)
+            ),
+        )
+
+    @nn.compact
+    def __call__(
+        self, features: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits [B], aux [B]) — aux is the per-example auxiliary
+        term to combine per `aux_mode` (see `dien_loss`)."""
+        d = self.dim
+        movie_emb = IdEmbed(
+            self.movie_buckets, d, mask_zero=True, name="emb_movie_shared"
+        )
+        cand = movie_emb(features["movieId"])                       # [B, D]
+        hist = movie_emb(history_stack(features))                   # [B, 5, D]
+        neg = movie_emb(
+            jnp.stack([features[c] for c in NEGATIVE_COLS], axis=-1)
+        )                                                            # [B, 4, D]
+
+        hidden = gru(self._gru_params("gru", d, d), hist)           # [B, 5, D]
+
+        # Attention (DIEN.py:184-213): product with repeated candidate ->
+        # Dense(32, sigmoid) -> Dense(1, sigmoid) -> broadcast to [B, 5, D].
+        prod = hidden * cand[:, None, :]
+        att = nn.sigmoid(nn.Dense(32, name="att_dense32")(prod))
+        att = nn.sigmoid(nn.Dense(1, name="att_dense1")(att))       # [B, 5, 1]
+        att = jnp.broadcast_to(att, hidden.shape)                   # [B, 5, D]
+
+        augru_params = AUGRUParams(
+            r=self._augru_gate("augru_r", d),
+            z=self._augru_gate("augru_z", d),
+            h=self._augru_gate("augru_h", d),
+        )
+        interest = augru(augru_params, hidden, att)                 # [B, D]
+
+        user_profile = jnp.concatenate(
+            [
+                IdEmbed(self.user_buckets, d, name="emb_userId")(features["userId"]),
+                GenreEmbed(dim=d, name="emb_userGenre1")(features["userGenre1"]),
+                numeric_stack(
+                    features, ("userRatingCount", "userAvgRating", "userRatingStddev")
+                ),
+            ],
+            axis=-1,
+        )
+        context = jnp.concatenate(
+            [
+                GenreEmbed(dim=d, name="emb_movieGenre1")(features["movieGenre1"]),
+                numeric_stack(
+                    features,
+                    (
+                        "releaseYear",
+                        "movieRatingCount",
+                        "movieAvgRating",
+                        "movieRatingStddev",
+                    ),
+                ),
+            ],
+            axis=-1,
+        )
+
+        x = jnp.concatenate([interest, cand, user_profile, context], axis=-1)
+        x = PReLU(name="prelu1")(nn.Dense(128, name="fc1")(x))
+        x = PReLU(name="prelu2")(nn.Dense(64, name="fc2")(x))
+        logits = nn.Dense(1, name="out")(x)[..., 0]
+
+        # Auxiliary head (DIEN.py:275-308): hidden[:, 0:4] vs next-step
+        # positive hist[:, 1:5] and negative neg[:, 0:4].
+        pos_in = jnp.concatenate([hidden[:, 0:4, :], hist[:, 1:5, :]], axis=-1)
+        pos_p = nn.sigmoid(nn.Dense(32, name="aux_pos32")(pos_in))
+        pos_p = nn.sigmoid(nn.Dense(1, name="aux_pos1")(pos_p))[..., 0]  # [B, 4]
+        neg_in = jnp.concatenate([hidden[:, 0:4, :], neg], axis=-1)
+        neg_p = nn.sigmoid(nn.Dense(32, name="aux_neg32")(neg_in))
+        neg_p = nn.sigmoid(nn.Dense(1, name="aux_neg1")(neg_p))[..., 0]  # [B, 4]
+
+        if self.aux_mode == "paper":
+            eps = 1e-7
+            aux = -jnp.sum(
+                jnp.log(pos_p + eps) + jnp.log(1.0 - neg_p + eps), axis=1
+            )
+        else:
+            aux = jnp.sum(pos_p + neg_p, axis=1)
+        return logits, aux
+
+
+def dien_loss_fn(alpha: float = 0.5, aux_mode: str = "reference"):
+    """Trainer-compatible loss for DIEN's two-headed output.
+
+    Reference semantics (DIEN.py:303-305): mean BCE - alpha * mean(aux);
+    paper semantics: mean BCE + alpha * mean(aux) where aux is the proper
+    -log(pos) - log(1-neg) term (selected by the model's own aux_mode —
+    keep both in sync).
+    """
+    import optax
+
+    sign = 1.0 if aux_mode == "paper" else -1.0
+
+    def fn(apply_fn, params, feats, labels, mask):
+        logits, aux = apply_fn({"params": params}, feats)
+        bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+        per_ex = bce + sign * alpha * aux
+        loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, (logits, jnp.sum(bce * mask))
+
+    return fn

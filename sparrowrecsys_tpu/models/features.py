@@ -1,0 +1,111 @@
+"""Shared feature-encoding blocks for the model zoo.
+
+TPU-native replacement for the reference's `tf.feature_column` graphs
+(`TFRecModel/.../EmbeddingMLP.py:46-74` and mirrors): instead of a string
+-processing DenseFeatures layer per batch, features arrive pre-encoded as
+int32 vocab indices (genres, -1 = OOV) and int32 ids (0 = padded history),
+so the in-graph work is pure gathers + concat — everything XLA fuses into
+the first matmul's input.
+
+Conventions (match `sparrowrecsys_tpu.data.dataset`):
+- genre columns: int32 index into the 19-genre vocab, -1 -> zero vector
+  (TF embedding_column over vocabulary_list maps OOV to default -1 -> zeros).
+- id columns: int32 within [0, buckets); history ids use 0 as mask value
+  (`na_value="0"` + `mask_zero=True`, `DIN.py:137`).
+- numerics: float32, fed raw (the reference applies no normalization).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparrowrecsys_tpu.config import (
+    EMBEDDING_DIM,
+    GENRE_VOCAB,
+    MOVIE_VOCAB_SIZE,
+    USER_VOCAB_SIZE,
+)
+from sparrowrecsys_tpu.ops.embedding import embed_lookup, uniform_embed_init
+
+GENRE_COLS = (
+    "userGenre1", "userGenre2", "userGenre3", "userGenre4", "userGenre5",
+    "movieGenre1", "movieGenre2", "movieGenre3",
+)
+
+NUMERIC_COLS = (
+    "releaseYear", "movieRatingCount", "movieAvgRating", "movieRatingStddev",
+    "userRatingCount", "userAvgRating", "userRatingStddev",
+)
+
+HISTORY_COLS = (
+    "userRatedMovie1", "userRatedMovie2", "userRatedMovie3",
+    "userRatedMovie4", "userRatedMovie5",
+)
+
+
+class GenreEmbed(nn.Module):
+    """Per-column 19-vocab embedding; OOV(-1) -> zeros."""
+
+    dim: int = EMBEDDING_DIM
+    vocab: int = len(GENRE_VOCAB)
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param("table", uniform_embed_init(), (self.vocab, self.dim))
+        return embed_lookup(table, idx, oov_is_negative=True)
+
+
+class IdEmbed(nn.Module):
+    """Identity-bucket id embedding (movieId 1001 / userId 30001)."""
+
+    buckets: int
+    dim: int = EMBEDDING_DIM
+    mask_zero: bool = False
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param("table", uniform_embed_init(), (self.buckets, self.dim))
+        return embed_lookup(table, idx, mask_zero=self.mask_zero)
+
+
+class IdBias(nn.Module):
+    """1-d embedding == linear weight over a one-hot indicator column.
+
+    The reference feeds indicator (one-hot) columns into a Dense(1); on TPU a
+    [B, V] one-hot matmul is wasted HBM bandwidth — a gather of a [V] weight
+    vector is numerically identical.
+    """
+
+    buckets: int
+    oov_is_negative: bool = False
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", nn.initializers.zeros, (self.buckets, 1))
+        return embed_lookup(
+            w, idx, oov_is_negative=self.oov_is_negative
+        )[..., 0]
+
+
+def numeric_stack(
+    features: Dict[str, jnp.ndarray], cols: Sequence[str] = NUMERIC_COLS
+) -> jnp.ndarray:
+    """Stack numeric columns -> [B, len(cols)] float32."""
+    return jnp.stack([features[c].astype(jnp.float32) for c in cols], axis=-1)
+
+
+def history_stack(features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Stack userRatedMovie1..5 -> int32 [B, 5] (0 = pad)."""
+    return jnp.stack([features[c] for c in HISTORY_COLS], axis=-1)
+
+
+class PReLU(nn.Module):
+    """Keras-compatible PReLU: learnable per-channel negative slope, init 0."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
+        return jnp.where(x >= 0, x, alpha * x)

@@ -1,0 +1,94 @@
+"""DIN target attention (activation unit) — fused op.
+
+Rebuild of the reference activation unit (`TFRecModel/.../DIN.py:144-163`):
+given history embeddings H [B, T, D], candidate embedding c [B, D], compute
+per-step features concat([H - c, H, c, H * c]) [B, T, 4D] -> Dense(32)
+-> PReLU -> Dense(1, sigmoid) -> weights [B, T]; output = sum_t w_t * H_t.
+
+`din_attention_xla` expresses this as batched matmuls (XLA fuses the
+elementwise prologue into the first matmul). `din_attention_pallas` fuses
+the whole unit — prologue, two matmuls, sigmoid, weighted pooling — into
+one VMEM-resident kernel so H is read from HBM exactly once; for long
+histories (T >= 64, SURVEY.md §5's history-length scaling note) this is
+HBM-bound speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _unit(h, c, w1, b1, alpha, w2, b2):
+    """Shared math: h [*, T, D], c [*, D] broadcastable."""
+    ce = jnp.broadcast_to(c[..., None, :], h.shape)
+    feats = jnp.concatenate([h - ce, h, ce, h * ce], axis=-1)  # [*, T, 4D]
+    a = jnp.dot(feats, w1, preferred_element_type=jnp.float32) + b1
+    a = jnp.where(a >= 0, a, alpha * a)  # PReLU
+    logit = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2  # [*, T, 1]
+    w = jax.nn.sigmoid(logit)
+    mask = jnp.any(h != 0, axis=-1, keepdims=True)  # padded steps have zero emb
+    w = w * mask
+    return jnp.sum(w * h, axis=-2)  # [*, D]
+
+
+def din_attention_xla(
+    hist: jnp.ndarray,
+    cand: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    alpha: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+) -> jnp.ndarray:
+    return _unit(hist, cand, w1, b1, alpha, w2, b2)
+
+
+def _din_kernel(h_ref, c_ref, w1_ref, b1_ref, a_ref, w2_ref, b2_ref, o_ref):
+    o_ref[...] = _unit(
+        h_ref[...], c_ref[...], w1_ref[...], b1_ref[...], a_ref[...],
+        w2_ref[...], b2_ref[...],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def din_attention_pallas(
+    hist, cand, w1, b1, alpha, w2, b2, block_b: int = 128
+):
+    b, t, d = hist.shape
+    block_b = min(block_b, b)
+    if b % block_b != 0:
+        return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)
+    grid = (b // block_b,)
+    rep = lambda i: (0, 0)
+    return pl.pallas_call(
+        _din_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d), hist.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(alpha.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(hist, cand, w1, b1, alpha, w2, b2)
+
+
+def din_attention(
+    hist, cand, w1, b1, alpha, w2, b2, use_pallas: Optional[bool] = None
+):
+    """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D]."""
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas and jax.default_backend() == "tpu":
+        return din_attention_pallas(hist, cand, w1, b1, alpha, w2, b2)
+    return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)

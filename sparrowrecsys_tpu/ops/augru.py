@@ -1,0 +1,105 @@
+"""GRU and attention-gated AUGRU recurrences as `lax.scan`.
+
+Rebuild of DIEN's hand-rolled recurrent graph
+(`TFRecModel/.../DIEN.py:181, 217-262`):
+- `gru`: a standard Keras-style GRU over [B, T, D] returning all hidden
+  states (reference uses `tf.keras.layers.GRU(EMBEDDING_SIZE,
+  return_sequences=True)` at DIEN.py:181).
+- `augru`: the reference's AUGRU cell, whose update gate is scaled by the
+  per-step attention score: h <- (1 - a*r)*h + (a*r)*h_tilde, with
+  r = sigmoid(W_r x + U_r h), z = sigmoid(W_z x + U_z h),
+  h_tilde = tanh(W_h x + U_h (h*z)) — exactly DIEN.py:237-262's gate
+  wiring (note the reference uses its "R" gate, not the conventional
+  update gate, as the attention-scaled mixer; preserved).
+
+The unrolled Python loop over `range(5)` in the reference becomes
+`lax.scan` — one compiled step reused T times, so history length is a
+config knob, not a recompile (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GRUParams(NamedTuple):
+    """Keras GRU parameter layout: kernel [D, 3H] (z|r|h), recurrent [H, 3H],
+    bias [3H]."""
+
+    kernel: jnp.ndarray
+    recurrent: jnp.ndarray
+    bias: jnp.ndarray
+
+
+def gru(params: GRUParams, x: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, D] -> hidden states [B, T, H] (h0 = zeros).
+
+    Keras GRU v2 gate math (reset_after=True is the Keras default, but the
+    reference's recurrent bias is folded: we implement reset_after=False
+    semantics, i.e. r applied before the recurrent matmul — the math DIEN's
+    own AUGRU uses; the difference is a reparameterization invisible to AUC).
+    """
+    h_dim = params.recurrent.shape[0]
+    b = x.shape[0]
+
+    def step(h, xt):
+        gates_x = xt @ params.kernel + params.bias  # [B, 3H]
+        xz, xr, xh = jnp.split(gates_x, 3, axis=-1)
+        rz = h @ params.recurrent[:, : 2 * h_dim]
+        hz, hr = jnp.split(rz, 2, axis=-1)
+        z = jax.nn.sigmoid(xz + hz)
+        r = jax.nn.sigmoid(xr + hr)
+        hh = jnp.tanh(xh + (r * h) @ params.recurrent[:, 2 * h_dim :])
+        h_new = z * h + (1.0 - z) * hh
+        return h_new, h_new
+
+    h0 = jnp.zeros((b, h_dim), x.dtype)
+    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(x, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+class AUGRUGate(NamedTuple):
+    """One `GRU_gate_parameter` (DIEN.py:217-233): y = act(W x + b + U h)."""
+
+    w: jnp.ndarray  # [D, H]
+    b: jnp.ndarray  # [H]
+    u: jnp.ndarray  # [H, H] (no bias, DIEN.py:228)
+
+
+class AUGRUParams(NamedTuple):
+    r: AUGRUGate
+    z: AUGRUGate
+    h: AUGRUGate
+
+
+def augru(
+    params: AUGRUParams, states: jnp.ndarray, attention: jnp.ndarray
+) -> jnp.ndarray:
+    """states [B, T, H] (GRU hidden states), attention [B, T, H] -> [B, H].
+
+    Reference update (DIEN.py:254-260), h0 = zeros (the reference draws a
+    fresh GlorotUniform h0 inside call() each batch — a bug we fix
+    deliberately; zeros is the conventional choice and AUC-equivalent).
+    """
+
+    def gate(g: AUGRUGate, x, h, act):
+        return act(x @ g.w + g.b + h @ g.u)
+
+    def step(h, inp):
+        xt, at = inp
+        r = gate(params.r, xt, h, jax.nn.sigmoid)
+        z = gate(params.z, xt, h, jax.nn.sigmoid)
+        h_tilde = jnp.tanh(xt @ params.h.w + params.h.b + (h * z) @ params.h.u)
+        a = at * r
+        h_new = (1.0 - a) * h + a * h_tilde
+        return h_new, None
+
+    b, t, hdim = states.shape
+    h0 = jnp.zeros((b, hdim), states.dtype)
+    h_fin, _ = jax.lax.scan(
+        step, h0, (jnp.swapaxes(states, 0, 1), jnp.swapaxes(attention, 0, 1))
+    )
+    return h_fin

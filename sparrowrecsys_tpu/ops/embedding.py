@@ -1,0 +1,104 @@
+"""Embedding lookup ops, including row-sharded tables over a `model` mesh axis.
+
+Replaces the reference's TF feature-column embedding machinery
+(`tf.feature_column.embedding_column` over identity/vocab categorical
+columns, `TFRecModel/.../EmbeddingMLP.py:46-64`) and its external
+embedding store (Redis keys `i2vEmb:*`/`uEmb:*`,
+`offline/spark/embedding/Embedding.scala:154-162`) with device-resident
+tables:
+
+- plain gather lookups for replicated tables (XLA lowers to fast dynamic
+  gathers on TPU), and
+- `sharded_lookup`: a shard_map-based lookup for tables row-sharded across
+  the `model` mesh axis — each shard gathers rows it owns, others contribute
+  zeros, and a `psum` over the model axis assembles the result on ICI.
+
+Missing-value semantics (SURVEY.md §2.3): vocab index -1 (OOV genre) and
+masked id 0 (history pad, `mask_zero=True` in `DIN.py:137`) produce zero
+vectors, matching TF's embedding_column-with-default and Keras mask_zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def embed_lookup(
+    table: jnp.ndarray, ids: jnp.ndarray, *, oov_is_negative: bool = False,
+    mask_zero: bool = False,
+) -> jnp.ndarray:
+    """Gather rows; -1 (if oov_is_negative) or 0 (if mask_zero) -> zeros.
+
+    table: [V, D]; ids: int32 [...]; returns [..., D].
+    """
+    v = table.shape[0]
+    safe = jnp.clip(ids, 0, v - 1)
+    out = jnp.take(table, safe, axis=0)
+    if oov_is_negative:
+        out = jnp.where((ids >= 0)[..., None], out, 0.0)
+    if mask_zero:
+        out = jnp.where((ids > 0)[..., None], out, 0.0)
+    return out
+
+
+def sharded_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    data_axis: str = "data",
+) -> jnp.ndarray:
+    """Lookup into a table row-sharded over `model_axis`.
+
+    The table [V, D] is split into contiguous row blocks, one per model
+    shard. ids [B] are replicated across the model axis (sharded over the
+    data axis with the batch). Each shard gathers the rows it owns and
+    zero-fills the rest; a psum over the model axis reduces the partial
+    gathers — one small ICI all-reduce instead of a host parameter server
+    (the role Redis plays in the reference serving path).
+
+    Returns [B, D] sharded over the data axis, replicated over model.
+    """
+    n_model = mesh.shape[model_axis]
+    v = table.shape[0]
+    block = -(-v // n_model)  # rows per shard (ceil)
+
+    def _local(table_blk: jnp.ndarray, ids_blk: jnp.ndarray) -> jnp.ndarray:
+        shard = jax.lax.axis_index(model_axis)
+        lo = shard * block
+        local = ids_blk - lo
+        hit = (local >= 0) & (local < table_blk.shape[0])
+        safe = jnp.clip(local, 0, table_blk.shape[0] - 1)
+        part = jnp.take(table_blk, safe, axis=0)
+        part = jnp.where(hit[..., None], part, 0.0)
+        return jax.lax.psum(part, model_axis)
+
+    padded_v = block * n_model
+    if padded_v != v:
+        table = jnp.pad(table, ((0, padded_v - v), (0, 0)))
+    return shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P(data_axis)),
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )(table, ids)
+
+
+def uniform_embed_init(scale: float = 0.05):
+    """TF-compatible embedding init: Keras Embedding uses uniform(-0.05, 0.05);
+    feature-column embedding_column defaults to truncated_normal(1/sqrt(dim)).
+    Uniform is the stabler choice for dim-10 tables; AUC parity holds for both.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init

@@ -1,0 +1,74 @@
+"""CLI training entry: the TPU-native analogue of running a reference
+script like `python TFRecModel/.../EmbeddingMLP.py`.
+
+    python -m sparrowrecsys_tpu.training.run --model embedding_mlp --epochs 5
+
+Builds samples from the bundled data (or --train/--test CSVs in the
+reference 27-column format), trains the named zoo model, prints
+loss/accuracy/ROC-AUC/PR-AUC, and shows 12 sample predictions like the
+reference scripts' trailing printout (`EmbeddingMLP.py:101-105`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="embedding_mlp")
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--parity", action="store_true",
+                    help="reference-parity settings (batch=12)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--train", default=None, help="trainingSamples.csv path")
+    ap.add_argument("--test", default=None, help="testSamples.csv path")
+    ap.add_argument("--data-root", default=None)
+    args = ap.parse_args()
+
+    from sparrowrecsys_tpu.config import DataConfig, TrainConfig
+    from sparrowrecsys_tpu.data.dataset import encode_samples, load_samples_csv
+    from sparrowrecsys_tpu.data.negatives import add_dien_negatives
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.models.dien import dien_loss_fn
+    from sparrowrecsys_tpu.training.loop import Trainer
+
+    data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    train_csv = args.train or data.path("trainingSamples.csv")
+    test_csv = args.test or data.path("testSamples.csv")
+    train_ds = encode_samples(load_samples_csv(train_csv))
+    test_ds = encode_samples(load_samples_csv(test_csv))
+    print(f"train={len(train_ds)} test={len(test_ds)} model={args.model}")
+
+    loss_fn = None
+    if args.model == "dien":
+        # Reference seeds 2020 (train) / 2021 (test), DIEN.py:52-53.
+        train_ds = add_dien_negatives(train_ds, seed=2020)
+        test_ds = add_dien_negatives(test_ds, seed=2021)
+        loss_fn = dien_loss_fn()
+
+    batch = args.batch_size or (12 if args.parity else 8192)
+    cfg = TrainConfig(
+        batch_size=batch, epochs=args.epochs, learning_rate=args.lr, seed=args.seed
+    )
+    model = build_model(args.model)
+    trainer = Trainer(model, cfg, loss_fn=loss_fn)
+    result = trainer.fit(train_ds, test=test_ds)
+
+    probs = trainer.predict(result.params, test_ds)[:12]
+    labels = test_ds.labels[:12]
+    for p, l in zip(probs, labels):
+        print(
+            f"Predicted good rating: {p:.2%}  | Actual rating label: "
+            + ("Good Rating" if l > 0.5 else "Bad Rating")
+        )
+    print(f"throughput: {result.examples_per_sec:.0f} examples/s")
+
+
+if __name__ == "__main__":
+    main()

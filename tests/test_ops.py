@@ -1,0 +1,164 @@
+"""Unit tests for sparrowrecsys_tpu.ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparrowrecsys_tpu.ops import metrics as M
+from sparrowrecsys_tpu.ops.embedding import embed_lookup, sharded_lookup
+from sparrowrecsys_tpu.ops.fm import fm_cross_pallas, fm_cross_xla
+from sparrowrecsys_tpu.ops.attention import din_attention_xla
+from sparrowrecsys_tpu.ops.augru import (
+    AUGRUGate,
+    AUGRUParams,
+    GRUParams,
+    augru,
+    gru,
+)
+
+
+class TestMetrics:
+    def test_streaming_auc_close_to_exact(self):
+        rng = np.random.default_rng(0)
+        n = 5000
+        labels = rng.integers(0, 2, n).astype(np.float32)
+        # informative but noisy scores
+        probs = np.clip(
+            0.3 * labels + 0.35 + 0.25 * rng.random(n), 0, 1
+        ).astype(np.float32)
+        state = M.init_metrics()
+        for i in range(0, n, 1000):
+            p, l = jnp.asarray(probs[i : i + 1000]), jnp.asarray(labels[i : i + 1000])
+            state = M.update_metrics(state, p, l, jnp.sum(p * 0))
+        out = {k: float(v) for k, v in M.finalize_metrics(state).items()}
+        exact = M.exact_auc(probs, labels)
+        assert abs(out["roc_auc"] - exact["roc_auc"]) < 0.01
+        assert abs(out["pr_auc"] - exact["pr_auc"]) < 0.02
+
+    def test_exact_auc_perfect_classifier(self):
+        labels = np.array([0, 0, 1, 1], np.float32)
+        probs = np.array([0.1, 0.2, 0.8, 0.9], np.float32)
+        out = M.exact_auc(probs, labels)
+        assert out["roc_auc"] == pytest.approx(1.0)
+        assert out["pr_auc"] == pytest.approx(1.0)
+
+    def test_exact_auc_random(self):
+        labels = np.array([0, 1, 0, 1], np.float32)
+        probs = np.array([0.5, 0.5, 0.5, 0.5], np.float32)
+        assert M.exact_auc(probs, labels)["roc_auc"] == pytest.approx(0.5)
+
+    def test_masked_update_ignores_padding(self):
+        state = M.init_metrics()
+        probs = jnp.array([0.9, 0.1, 0.7, 0.7])
+        labels = jnp.array([1.0, 0.0, 1.0, 1.0])
+        mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+        state = M.update_metrics(state, probs, labels, jnp.float32(0), mask)
+        assert float(state.count) == 2.0
+        assert float(state.pos) == 1.0
+
+
+class TestEmbedding:
+    def test_oov_and_mask_zero(self):
+        table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3) + 1.0
+        ids = jnp.array([-1, 0, 3])
+        out = embed_lookup(table, ids, oov_is_negative=True)
+        assert np.allclose(out[0], 0.0)
+        assert np.allclose(out[1], table[0])
+        out = embed_lookup(table, ids, mask_zero=True)
+        assert np.allclose(out[1], 0.0)
+        assert np.allclose(out[2], table[3])
+
+    def test_sharded_lookup_matches_gather(self):
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+        table = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1003, 8)).astype(np.float32)
+        )
+        ids = jnp.asarray(
+            np.random.default_rng(1).integers(0, 1003, 64).astype(np.int32)
+        )
+        out = jax.jit(lambda t, i: sharded_lookup(t, i, mesh))(table, ids)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+
+
+class TestFM:
+    def test_fm_identity_vs_explicit_pairs(self):
+        """sum-square minus square-sum == 2 * sum over pairs of elementwise
+        products (the FM identity the reference's graph encodes)."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(16, 5, 8)).astype(np.float32))
+        out = fm_cross_xla(x)
+        f = x.shape[1]
+        pairs = sum(
+            2.0 * x[:, i] * x[:, j] for i in range(f) for j in range(i + 1, f)
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pairs), rtol=1e-4)
+
+    def test_pallas_interpret_matches_xla(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(256, 5, 64)).astype(np.float32))
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out_p = fm_cross_pallas(x)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(fm_cross_xla(x)), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestAttention:
+    def test_masked_steps_contribute_zero(self):
+        rng = np.random.default_rng(0)
+        b, t, dim = 4, 5, 10
+        hist = rng.normal(size=(b, t, dim)).astype(np.float32)
+        hist[:, 3:] = 0.0  # padded steps (zeroed by mask_zero embedding)
+        cand = rng.normal(size=(b, dim)).astype(np.float32)
+        w1 = rng.normal(size=(4 * dim, 32)).astype(np.float32)
+        b1 = np.zeros(32, np.float32)
+        alpha = np.zeros(32, np.float32)
+        w2 = rng.normal(size=(32, 1)).astype(np.float32)
+        b2 = np.zeros(1, np.float32)
+        full = din_attention_xla(*map(jnp.asarray, (hist, cand, w1, b1, alpha, w2, b2)))
+        trunc = din_attention_xla(
+            *map(jnp.asarray, (hist[:, :3], cand, w1, b1, alpha, w2, b2))
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(trunc), rtol=1e-5)
+
+
+class TestAUGRU:
+    def _params(self, d, rng):
+        g = lambda: AUGRUGate(
+            w=jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1),
+            b=jnp.zeros(d),
+            u=jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1),
+        )
+        return AUGRUParams(r=g(), z=g(), h=g())
+
+    def test_zero_attention_keeps_initial_state(self):
+        rng = np.random.default_rng(0)
+        d = 6
+        params = self._params(d, rng)
+        states = jnp.asarray(rng.normal(size=(3, 5, d)).astype(np.float32))
+        att = jnp.zeros((3, 5, d))
+        out = augru(params, states, att)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+    def test_gru_shapes_and_determinism(self):
+        rng = np.random.default_rng(0)
+        d = 10
+        params = GRUParams(
+            kernel=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.1),
+            recurrent=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.1),
+            bias=jnp.zeros(3 * d),
+        )
+        x = jnp.asarray(rng.normal(size=(4, 5, d)).astype(np.float32))
+        h = gru(params, x)
+        assert h.shape == (4, 5, d)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(gru(params, x)))

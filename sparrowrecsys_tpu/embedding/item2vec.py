@@ -1,0 +1,185 @@
+"""Item2vec: skip-gram with negative sampling, fully jitted.
+
+Rebuild of `trainItem2vec` (`offline/spark/embedding/Embedding.scala:128-167`):
+Spark MLlib `Word2Vec(vectorSize=10, windowSize=5, numIterations=10)` over
+per-user positively-rated watch sequences (`processItemSequence`,
+Embedding.scala:34-63: rating >= 3.5, sorted by timestamp, grouped by user).
+
+TPU-native design: sequences are flattened to (center, context) pair arrays
+once on host (O(total pairs), numpy); training is a single jitted SGNS step
+over large batches — embedding gathers + a [B, 1+neg] dot + sigmoid loss,
+with negatives drawn on device from the unigram^0.75 distribution via
+inverse-CDF (`searchsorted` on a precomputed cumulative table).
+
+Documented divergence: MLlib Word2Vec optimizes hierarchical softmax;
+SGNS is the standard modern equivalent and produces cosine-neighborhoods
+of the same quality (validated by the `findSynonyms`-style tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparrowrecsys_tpu.config import POSITIVE_RATING_THRESHOLD
+from sparrowrecsys_tpu.data.movielens import Ratings
+
+
+@dataclasses.dataclass(frozen=True)
+class Item2VecConfig:
+    dim: int = 10                # embLength (Embedding.scala:314)
+    window: int = 5              # windowSize (Embedding.scala:132)
+    epochs: int = 10             # numIterations (Embedding.scala:133)
+    negatives: int = 5
+    batch_size: int = 8192
+    learning_rate: float = 0.025
+    min_count: int = 1           # MLlib default minCount=5; sequences here are tiny
+    seed: int = 2024
+
+
+def build_item_sequences(
+    ratings: Ratings, threshold: float = POSITIVE_RATING_THRESHOLD
+) -> List[np.ndarray]:
+    """Per-user watch sequences of movieIds: rating >= threshold, sorted by
+    timestamp (ties keep input order — Embedding.scala:41-45 sorts the
+    timestamp *string*, identical ordering for equal-width epoch stamps)."""
+    keep = ratings.ratings >= threshold
+    u = ratings.user_ids[keep]
+    m = ratings.movie_ids[keep]
+    t = ratings.timestamps[keep]
+    order = np.lexsort((np.arange(len(u)), t, u))
+    u, m = u[order], m[order]
+    seqs: List[np.ndarray] = []
+    if len(u) == 0:
+        return seqs
+    bounds = np.flatnonzero(np.diff(u)) + 1
+    for chunk in np.split(m, bounds):
+        if len(chunk) >= 2:
+            seqs.append(chunk.astype(np.int64))
+    return seqs
+
+
+def skipgram_pairs(
+    sequences: Sequence[np.ndarray], window: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten sequences into (center_idx, context_idx) over a dense vocab.
+
+    Returns (centers, contexts, vocab_ids, counts): centers/contexts are
+    indices into vocab_ids (the sorted unique movieIds); counts are vocab
+    occurrence counts for the negative-sampling distribution.
+    """
+    flat = np.concatenate(sequences) if sequences else np.empty(0, np.int64)
+    vocab_ids, inv = np.unique(flat, return_inverse=True)
+    counts = np.bincount(inv, minlength=len(vocab_ids)).astype(np.float64)
+
+    centers, contexts = [], []
+    offset = 0
+    for seq in sequences:
+        n = len(seq)
+        idx = inv[offset : offset + n]
+        offset += n
+        for d in range(1, window + 1):
+            if n <= d:
+                continue
+            a, b = idx[:-d], idx[d:]
+            centers.append(a); contexts.append(b)   # center -> right context
+            centers.append(b); contexts.append(a)   # center -> left context
+    if centers:
+        c = np.concatenate(centers); x = np.concatenate(contexts)
+    else:
+        c = np.empty(0, np.int64); x = np.empty(0, np.int64)
+    return c.astype(np.int32), x.astype(np.int32), vocab_ids, counts
+
+
+@functools.partial(jax.jit, static_argnames=("negatives", "lr"))
+def _sgns_step(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
+    b = centers.shape[0]
+    u = jnp.take(emb_in, centers, axis=0)            # [B, D]
+    v_pos = jnp.take(emb_out, contexts, axis=0)      # [B, D]
+    r = jax.random.uniform(key, (b, negatives))
+    neg_idx = jnp.searchsorted(neg_cdf, r)           # [B, N] unigram^0.75
+    v_neg = jnp.take(emb_out, neg_idx, axis=0)       # [B, N, D]
+
+    pos_logit = jnp.sum(u * v_pos, axis=-1)          # [B]
+    neg_logit = jnp.einsum("bd,bnd->bn", u, v_neg)   # [B, N]
+
+    # Gradients of -log σ(pos) - Σ log σ(-neg), written explicitly — cheaper
+    # and clearer than autodiff through the gathers.
+    g_pos = jax.nn.sigmoid(pos_logit) - 1.0          # [B]
+    g_neg = jax.nn.sigmoid(neg_logit)                # [B, N]
+
+    du = g_pos[:, None] * v_pos + jnp.einsum("bn,bnd->bd", g_neg, v_neg)
+    dv_pos = g_pos[:, None] * u
+    dv_neg = g_neg[..., None] * u[:, None, :]
+
+    emb_in = emb_in.at[centers].add(-lr * du)
+    emb_out = emb_out.at[contexts].add(-lr * dv_pos)
+    emb_out = emb_out.at[neg_idx.reshape(-1)].add(
+        -lr * dv_neg.reshape(-1, u.shape[-1])
+    )
+    loss = -jnp.mean(
+        jax.nn.log_sigmoid(pos_logit) + jnp.sum(jax.nn.log_sigmoid(-neg_logit), -1)
+    )
+    return emb_in, emb_out, loss
+
+
+def train_item2vec(
+    ratings: Ratings, config: Item2VecConfig = Item2VecConfig()
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (vocab_ids [V], embeddings [V, D]) — the item2vecEmb table."""
+    seqs = build_item_sequences(ratings)
+    centers, contexts, vocab_ids, counts = skipgram_pairs(seqs, config.window)
+    v = len(vocab_ids)
+    if v == 0:
+        return vocab_ids, np.zeros((0, config.dim), np.float32)
+
+    p = counts ** 0.75
+    neg_cdf = jnp.asarray(np.cumsum(p / p.sum()), jnp.float32)
+
+    key = jax.random.PRNGKey(config.seed)
+    k1, key = jax.random.split(key)
+    emb_in = jax.random.uniform(
+        k1, (v, config.dim), jnp.float32, -0.5 / config.dim, 0.5 / config.dim
+    )
+    emb_out = jnp.zeros((v, config.dim), jnp.float32)
+
+    n = len(centers)
+    bs = min(config.batch_size, max(n, 1))
+    steps = max(n // bs, 1)
+    rng = np.random.default_rng(config.seed)
+    for epoch in range(config.epochs):
+        order = rng.permutation(n)
+        for s in range(steps):
+            idx = order[s * bs : (s + 1) * bs]
+            if len(idx) < bs:  # keep shapes static
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            key, sub = jax.random.split(key)
+            emb_in, emb_out, loss = _sgns_step(
+                emb_in, emb_out,
+                jnp.asarray(centers[idx]), jnp.asarray(contexts[idx]),
+                neg_cdf, sub, config.negatives, config.learning_rate,
+            )
+    return vocab_ids, np.asarray(emb_in)
+
+
+def find_synonyms(
+    vocab_ids: np.ndarray, emb: np.ndarray, movie_id: int, k: int = 20
+) -> List[Tuple[int, float]]:
+    """Cosine top-k neighbours — the `findSynonyms("158", 20)` demo
+    (Embedding.scala:139-142)."""
+    from sparrowrecsys_tpu.ops.topk import cosine_topk
+
+    pos = np.flatnonzero(vocab_ids == movie_id)
+    if len(pos) == 0:
+        return []
+    scores, idx = cosine_topk(emb[pos], emb, k + 1)
+    out = []
+    for i, s in zip(np.asarray(idx)[0], np.asarray(scores)[0]):
+        if vocab_ids[i] != movie_id and len(out) < k:
+            out.append((int(vocab_ids[i]), float(s)))
+    return out

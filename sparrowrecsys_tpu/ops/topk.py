@@ -1,0 +1,85 @@
+"""On-device similarity scoring and top-k retrieval.
+
+Replaces the serving hot loop — per-candidate cosine over boxed Java floats
+(`online/model/Embedding.java:63-80`, called 800x per request from
+`RecForYouProcess.java:80-83`) and the brute-force embedding scan
+(`SimilarMovieProcess.java:113-135`) — with one MXU matmul over the whole
+catalog followed by `lax.top_k`. At MovieLens scale a full-catalog exact
+top-k is microseconds; LSH (Embedding.scala:274-296) becomes an optional
+demo rather than a necessity (SURVEY.md §7 step 5).
+
+`sharded_cosine_topk` scales the same op across a `model`-sharded item
+matrix: local top-k per shard, then a gathered merge — the ICI traffic is
+k rows per shard, not the catalog.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+@jax.jit
+def cosine_scores(queries: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
+    """[Q, D] x [M, D] -> cosine [Q, M]. Zero vectors score 0 (the reference
+    returns -1 on null embeddings and drops them from ranking; 0 keeps them
+    ranked last among non-negative scores — same top-k for valid data)."""
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
+    )
+    mn = items / jnp.maximum(jnp.linalg.norm(items, axis=-1, keepdims=True), 1e-12)
+    return jnp.dot(qn, mn.T, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk(
+    queries: jnp.ndarray, items: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact cosine top-k: ([Q, k] scores, [Q, k] indices)."""
+    scores = cosine_scores(queries, items)
+    return jax.lax.top_k(scores, k)
+
+
+def sharded_cosine_topk(
+    queries: jnp.ndarray,
+    items: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over an item matrix row-sharded across `model_axis`.
+
+    Each shard computes local top-k over its rows; an all_gather of the
+    [Q, k] partials (k rows per shard over ICI, not the catalog) is merged
+    by a second tiny top-k. Queries are replicated.
+    """
+    n_model = mesh.shape[model_axis]
+    m = items.shape[0]
+    block = -(-m // n_model)
+    padded = block * n_model
+    if padded != m:
+        items = jnp.pad(items, ((0, padded - m), (0, 0)))
+
+    def _local(q, it_blk):
+        shard = jax.lax.axis_index(model_axis)
+        s, i = cosine_topk(q, it_blk, k)
+        i = i + shard * block
+        s_all = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)  # [Q, P*k]
+        i_all = jax.lax.all_gather(i, model_axis, axis=1, tiled=True)
+        s_top, pos = jax.lax.top_k(s_all, k)
+        return s_top, jnp.take_along_axis(i_all, pos, axis=1)
+
+    other_axes = tuple(a for a in mesh.axis_names if a != model_axis)
+    return shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(model_axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, items)

@@ -1,0 +1,123 @@
+"""Recall + rank pipelines — `SimilarMovieProcess` / `RecForYouProcess`.
+
+Call-stack parity (SURVEY.md §3.2/§3.3):
+
+similar_movie_rec (SimilarMovieProcess.java:23-36):
+  candidate_generator (48-59: union of per-genre top-100-by-rating, self
+  removed) -> ranker (149-168: "emb" -> item-item cosine, default ->
+  0.7*genre + 0.3*rating) -> truncate.
+
+rec_for_you (RecForYouProcess.java:30-64):
+  top-800-by-rating candidates -> ranker (73-99: "emb" -> user-movie
+  cosine; "neuralcf"/"nerualcf" -> ModelScorer (the TF-Serving
+  replacement); default -> preserve candidate order).
+
+Also implemented for inventory parity: `multiple_retrieval_candidates`
+(70-100) and `retrieval_candidates_by_embedding` (113-135 — NOTE the
+reference sorts ascending there, returning the LEAST similar movies; a
+bug since that path is never called from a service. We sort descending
+and record the divergence).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sparrowrecsys_tpu.serving.catalog import DataManager, Movie, User
+from sparrowrecsys_tpu.serving.rankers import (
+    ModelScorer,
+    rank_by_embedding,
+    similar_score,
+)
+
+CANDIDATE_SIZE = 800  # RecForYouProcess.java:35
+
+
+class SimilarMovieProcess:
+    def __init__(self, dm: DataManager):
+        self.dm = dm
+
+    def get_rec_list(self, movie_id: int, size: int, model: str) -> List[Movie]:
+        movie = self.dm.get_movie_by_id(movie_id)
+        if movie is None:
+            return []
+        candidates = self.candidate_generator(movie)
+        ranked = self.ranker(movie, candidates, model)
+        return ranked[:size]
+
+    def candidate_generator(self, movie: Movie) -> List[Movie]:
+        seen: Dict[int, Movie] = {}
+        for genre in movie.genres:
+            try:
+                for c in self.dm.get_movies_by_genre(genre, 100, "rating"):
+                    seen[c.movie_id] = c
+            except KeyError:
+                continue
+        seen.pop(movie.movie_id, None)
+        return list(seen.values())
+
+    def multiple_retrieval_candidates(self, movie: Movie) -> List[Movie]:
+        seen: Dict[int, Movie] = {}
+        for genre in set(movie.genres):
+            try:
+                for c in self.dm.get_movies_by_genre(genre, 20, "rating"):
+                    seen[c.movie_id] = c
+            except KeyError:
+                continue
+        for c in self.dm.get_movies(100, "rating"):
+            seen[c.movie_id] = c
+        for c in self.dm.get_movies(100, "releaseYear"):
+            seen[c.movie_id] = c
+        seen.pop(movie.movie_id, None)
+        return list(seen.values())
+
+    def retrieval_candidates_by_embedding(
+        self, movie: Movie, size: int
+    ) -> Optional[List[Movie]]:
+        if movie is None or movie.emb is None:
+            return None
+        candidates = self.dm.get_movies(10000, "rating")
+        ranked = rank_by_embedding(movie.emb, candidates, self.dm)
+        return ranked[:size]
+
+    def ranker(self, movie: Movie, candidates: List[Movie], model: str) -> List[Movie]:
+        if model == "emb":
+            return rank_by_embedding(movie.emb, candidates, self.dm)
+        scored = sorted(
+            candidates, key=lambda c: similar_score(movie, c), reverse=True
+        )
+        return scored
+
+
+class RecForYouProcess:
+    def __init__(self, dm: DataManager, scorer: Optional[ModelScorer] = None):
+        self.dm = dm
+        self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
+
+    def get_rec_list(self, user_id: int, size: int, model: str) -> List[Movie]:
+        user = self.dm.get_user_by_id(user_id)
+        if user is None:
+            return []
+        candidates = self.dm.get_movies(CANDIDATE_SIZE, "rating")
+        ranked = self.ranker(user, candidates, model)
+        return ranked[:size]
+
+    def ranker(self, user: User, candidates: List[Movie], model: str) -> List[Movie]:
+        if model == "emb":
+            return self._rank_user_emb(user, candidates)
+        if model in ("neuralcf", "nerualcf"):  # accept the reference typo
+            if self.scorer is None:
+                return list(candidates)
+            scores = self.scorer.score(user.user_id, [c.movie_id for c in candidates])
+            order = np.argsort(-scores, kind="stable")
+            return [candidates[i] for i in order]
+        return list(candidates)  # default: preserve candidate order
+
+    def _rank_user_emb(self, user: User, candidates: List[Movie]) -> List[Movie]:
+        emb = user.emb
+        if emb is None:
+            row = self.dm.user_emb_row(user.user_id)
+            emb = self.dm.user_emb_matrix[row] if row >= 0 else None
+        return rank_by_embedding(emb, candidates, self.dm)

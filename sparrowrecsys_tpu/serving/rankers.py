@@ -1,0 +1,146 @@
+"""Rankers for the recall+rank pipelines.
+
+Replaces the reference's three scoring paths:
+- `"emb"`: per-candidate cosine loop (`Embedding.java:63-80`, driven from
+  `RecForYouProcess.java:80-83` / `SimilarMovieProcess.java:155-156`) ->
+  one jitted matmul over the candidate embedding matrix (`ops.topk`);
+- default heuristic: 0.7 * genre-overlap + 0.3 * rating/5
+  (`SimilarMovieProcess.java:181-198`) — host-side, it's string math;
+- `"nerualcf"`: REST call to TF Serving (`RecForYouProcess.java:120-147`)
+  -> `ModelScorer`, an in-process jitted NeuralCF batch scorer restored
+  from a versioned checkpoint (`training.checkpoint`), with an optional
+  HTTP sidecar client for architectural parity (`RestScorer`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from sparrowrecsys_tpu.serving.catalog import DataManager, Movie, User
+
+
+def cosine_scores_batch(query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """One [1, D] x [N, D] cosine pass on device; -1 for zero rows (parity
+    with `calculateSimilarity` returning -1 on null embeddings)."""
+    from sparrowrecsys_tpu.ops.topk import cosine_scores
+    import jax.numpy as jnp
+
+    if matrix.size == 0 or query.size == 0:
+        return np.full(len(matrix), -1.0, np.float32)
+    s = np.array(cosine_scores(jnp.asarray(query[None, :]), jnp.asarray(matrix)))[0]
+    dead = ~np.any(matrix != 0, axis=1)
+    s[dead] = -1.0
+    return s
+
+
+def similar_score(movie: Movie, candidate: Movie) -> float:
+    """`calculateSimilarScore` (SimilarMovieProcess.java:181-198)."""
+    same = sum(1 for g in movie.genres if g in candidate.genres)
+    denom = len(movie.genres) + len(candidate.genres)
+    genre_sim = (same / denom / 2) if denom else 0.0
+    return 0.7 * genre_sim + 0.3 * (candidate.average_rating / 5)
+
+
+def rank_by_embedding(
+    query_emb: Optional[np.ndarray],
+    candidates: Sequence[Movie],
+    dm: DataManager,
+) -> List[Movie]:
+    """Batched replacement of the emb ranker loops: gather candidate rows
+    from the aligned matrix, one cosine matmul, host argsort."""
+    if query_emb is None:
+        # Reference scores everything -1 and the sort keeps arbitrary
+        # order; return candidates unranked.
+        return list(candidates)
+    rows = np.array([dm.movie_emb_row(m.movie_id) for m in candidates])
+    have = rows >= 0
+    mat = np.zeros((len(candidates), len(query_emb)), np.float32)
+    if have.any():
+        mat[have] = dm.movie_emb_matrix[rows[have]]
+    scores = cosine_scores_batch(np.asarray(query_emb, np.float32), mat)
+    scores[~have] = -1.0
+    order = np.argsort(-scores, kind="stable")
+    return [candidates[i] for i in order]
+
+
+class ModelScorer:
+    """In-process jitted CTR scorer — the TF-Serving replacement.
+
+    Loads a model + versioned checkpoint once; `score(user_id, movie_ids)`
+    runs one jitted batch forward. Fills the role of
+    `callNeuralCFTFServing` (`RecForYouProcess.java:120-147`) without the
+    REST hop, and pads the candidate batch to a fixed size so one
+    compilation serves all requests.
+    """
+
+    def __init__(self, model, params, batch_pad: int = 1024):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.batch_pad = batch_pad
+
+        @jax.jit
+        def _score(params, feats):
+            out = model.apply({"params": params}, feats)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jax.nn.sigmoid(logits)
+
+        self._score = _score
+
+    @classmethod
+    def from_checkpoint(cls, model, model_dir: str, batch_pad: int = 1024):
+        import jax
+        import numpy as np
+
+        from sparrowrecsys_tpu.training.checkpoint import load_latest
+
+        feats = {
+            "movieId": np.zeros(2, np.int32),
+            "userId": np.zeros(2, np.int32),
+        }
+        target = model.init(jax.random.PRNGKey(0), feats)["params"]
+        params, _, _ = load_latest(model_dir, target)
+        return cls(model, params, batch_pad)
+
+    def score(self, user_id: int, movie_ids: Sequence[int]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        n = len(movie_ids)
+        pad = self.batch_pad
+        while pad < n:
+            pad *= 2
+        mids = np.zeros(pad, np.int32)
+        mids[:n] = np.asarray(movie_ids, np.int32)
+        feats = {
+            "movieId": jnp.asarray(mids),
+            "userId": jnp.asarray(np.full(pad, user_id, np.int32)),
+        }
+        return np.asarray(self._score(self.params, feats))[:n]
+
+
+class RestScorer:
+    """TF-Serving-protocol REST client — optional sidecar-mode parity with
+    `HttpClient.asyncSinglePostRequest` + the `{"instances": [...]}` payload
+    (`RecForYouProcess.java:131-147`). Works against our own sidecar
+    (`serving.sidecar`) or a real TF Serving."""
+
+    def __init__(self, endpoint: str = "http://localhost:8501/v1/models/recmodel:predict"):
+        self.endpoint = endpoint
+
+    def score(self, user_id: int, movie_ids: Sequence[int]) -> np.ndarray:
+        import json
+        import urllib.request
+
+        payload = json.dumps(
+            {"instances": [{"userId": user_id, "movieId": int(m)} for m in movie_ids]}
+        ).encode()
+        req = urllib.request.Request(
+            self.endpoint, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        return np.asarray([p[0] for p in out["predictions"]], np.float32)

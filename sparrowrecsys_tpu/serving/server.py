@@ -1,0 +1,195 @@
+"""HTTP facade: the five reference endpoints + static webroot.
+
+Rebuild of `online/RecSysServer.java` + the five servlets
+(`online/service/*.java`) on `http.server.ThreadingHTTPServer` (the
+DataManager is read-only after load, the same property that makes Jetty's
+thread pool safe in the reference — SURVEY.md §5):
+
+- GET /getmovie?id=             (MovieService.java:39-61)
+- GET /getuser?id=              (UserService.java:34-48)
+- GET /getrecommendation?genre=&size=&sortby=  (RecommendationService.java:40-52)
+- GET /getsimilarmovie?movieId=&size=&model=   (SimilarMovieService.java:36-48)
+- GET /getrecforyou?id=&size=&model=           (RecForYouService.java:44-58,
+  with the A/B override when ab_test is enabled, RecForYouService.java:49-51)
+- anything else: static files from the webroot (DefaultServlet parity).
+
+Response parity: CORS `*`, JSON via the entity `to_json` shapes (incl. the
+`{"rating": {...}}` wrapper), empty-string body on error/miss.
+
+Port: 6010, overridable via the PORT env var (RecSysServer.java:25-32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from sparrowrecsys_tpu.config import ServingConfig
+from sparrowrecsys_tpu.serving.ab import get_config_by_user_id
+from sparrowrecsys_tpu.serving.catalog import DataManager
+from sparrowrecsys_tpu.serving.processes import RecForYouProcess, SimilarMovieProcess
+
+_CONTENT_TYPES = {
+    ".html": "text/html", ".js": "application/javascript", ".css": "text/css",
+    ".png": "image/png", ".jpg": "image/jpeg", ".ico": "image/x-icon",
+    ".json": "application/json",
+}
+
+
+class RecSysServer:
+    def __init__(
+        self,
+        dm: DataManager,
+        config: Optional[ServingConfig] = None,
+        scorer=None,
+        ab_test: bool = False,
+        webroot: Optional[str] = None,
+    ):
+        self.dm = dm
+        self.config = config or ServingConfig()
+        self.similar = SimilarMovieProcess(dm)
+        self.rec_for_you = RecForYouProcess(dm, scorer)
+        self.ab_test = ab_test
+        self.webroot = webroot or self.config.webroot or os.path.join(
+            os.path.dirname(__file__), "webroot"
+        )
+        self.port = int(os.environ.get("PORT", self.config.port))
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ---- endpoint handlers ----------------------------------------------
+    def handle(self, path: str, q) -> tuple:
+        """Returns (status, content_type, body_bytes)."""
+        try:
+            if path == "/getmovie":
+                m = self.dm.get_movie_by_id(int(q("id")))
+                return self._json(m.to_json() if m else None)
+            if path == "/getuser":
+                u = self.dm.get_user_by_id(int(q("id")))
+                return self._json(u.to_json() if u else None)
+            if path == "/getrecommendation":
+                movies = self.dm.get_movies_by_genre(
+                    q("genre"), int(q("size")), q("sortby")
+                )
+                return self._json([m.to_json() for m in movies])
+            if path == "/getsimilarmovie":
+                movies = self.similar.get_rec_list(
+                    int(q("movieId")), int(q("size")), q("model")
+                )
+                return self._json([m.to_json() for m in movies])
+            if path == "/getrecforyou":
+                model = q("model")
+                if self.ab_test:
+                    model = get_config_by_user_id(q("id"))
+                movies = self.rec_for_you.get_rec_list(
+                    int(q("id")), int(q("size")), model
+                )
+                return self._json([m.to_json() for m in movies])
+        except Exception:
+            # Servlet catch-all parity: empty body (MovieService.java:57-62).
+            return 200, "text/html", b""
+        return self._static(path)
+
+    @staticmethod
+    def _json(obj) -> tuple:
+        if obj is None:
+            return 200, "application/json", b""
+        return 200, "application/json", json.dumps(obj).encode()
+
+    def _static(self, path: str) -> tuple:
+        if path in ("", "/"):
+            path = "/index.html"
+        full = os.path.normpath(os.path.join(self.webroot, path.lstrip("/")))
+        if not full.startswith(os.path.abspath(self.webroot)) or not os.path.isfile(full):
+            return 404, "text/html", b"Not Found"
+        ext = os.path.splitext(full)[1]
+        with open(full, "rb") as f:
+            return 200, _CONTENT_TYPES.get(ext, "application/octet-stream"), f.read()
+
+    # ---- server lifecycle ------------------------------------------------
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                qs = parse_qs(parsed.query)
+
+                def q(name, default=""):
+                    return qs.get(name, [default])[0]
+
+                status, ctype, body = server.handle(parsed.path, q)
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+        return Handler
+
+    def start(self, block: bool = False) -> None:
+        self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        if block:
+            self._httpd.serve_forever()
+        else:
+            self._thread = threading.Thread(
+                target=self._httpd.serve_forever, daemon=True
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+
+def main() -> None:
+    """`RecSysServer.main` parity: load data, start on port 6010."""
+    import argparse
+
+    from sparrowrecsys_tpu.config import DataConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--ab-test", action="store_true")
+    ap.add_argument("--model-dir", default=None, help="NeuralCF checkpoint dir")
+    args = ap.parse_args()
+
+    data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    dm = DataManager().load_data(
+        data.path(data.movies_csv),
+        data.path(data.links_csv) if os.path.exists(data.path(data.links_csv)) else None,
+        data.path(data.ratings_csv) if os.path.exists(data.path(data.ratings_csv)) else None,
+        _first_existing(data, "modeldata/item2vecEmb.csv", data.item_emb_file),
+        _first_existing(data, "modeldata/userEmb.csv", data.user_emb_file),
+    )
+    scorer = None
+    if args.model_dir:
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+        scorer = ModelScorer.from_checkpoint(build_model("neuralcf"), args.model_dir)
+    server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test)
+    print(f"Sparrow RecSys (TPU) serving on http://localhost:{server.port}/")
+    server.start(block=True)
+
+
+def _first_existing(data, *names):
+    for n in names:
+        p = data.path(n)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+if __name__ == "__main__":
+    main()

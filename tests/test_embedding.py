@@ -1,0 +1,170 @@
+"""Tests for the embedding pretraining plane."""
+
+import numpy as np
+import pytest
+
+from sparrowrecsys_tpu.data.movielens import Ratings
+from sparrowrecsys_tpu.embedding.artifacts import (
+    load_embeddings_csv,
+    write_embeddings_csv,
+)
+from sparrowrecsys_tpu.embedding.deepwalk import (
+    DeepWalkConfig,
+    random_walks,
+    transition_matrix,
+)
+from sparrowrecsys_tpu.embedding.item2vec import (
+    Item2VecConfig,
+    build_item_sequences,
+    find_synonyms,
+    skipgram_pairs,
+    train_item2vec,
+)
+from sparrowrecsys_tpu.embedding.lsh import LSHIndex
+from sparrowrecsys_tpu.embedding.user_emb import generate_user_emb
+
+
+def make_ratings(events):
+    u, m, r, t = zip(*events)
+    return Ratings(
+        np.array(u, np.int32), np.array(m, np.int32),
+        np.array(r, np.float32), np.array(t, np.int64),
+    )
+
+
+def clustered_ratings(n_users=200, seed=0):
+    """Two disjoint item clusters; users watch within one cluster.
+    Item2vec must place same-cluster items closer than cross-cluster."""
+    rng = np.random.default_rng(seed)
+    events = []
+    for u in range(1, n_users + 1):
+        cluster = u % 2
+        items = rng.choice(np.arange(10) + 1 + cluster * 10, size=6, replace=False)
+        for i, it in enumerate(items):
+            events.append((u, int(it), 5.0, 1000 + i))
+    return make_ratings(events)
+
+
+class TestSequences:
+    def test_build_sequences_filters_and_sorts(self):
+        r = make_ratings([
+            (1, 10, 5.0, 3), (1, 11, 2.0, 1), (1, 12, 4.0, 2), (1, 13, 3.5, 1),
+            (2, 20, 5.0, 1),  # singleton -> dropped
+        ])
+        seqs = build_item_sequences(r)
+        assert len(seqs) == 1
+        assert seqs[0].tolist() == [13, 12, 10]  # rating>=3.5, by timestamp
+
+    def test_skipgram_pairs_window(self):
+        seqs = [np.array([1, 2, 3])]
+        c, x, vocab, counts = skipgram_pairs(seqs, window=1)
+        pairs = set(zip(vocab[c].tolist(), vocab[x].tolist()))
+        assert pairs == {(1, 2), (2, 1), (2, 3), (3, 2)}
+        assert counts.sum() == 3
+
+
+class TestItem2Vec:
+    def test_cluster_structure_learned(self):
+        ratings = clustered_ratings()
+        cfg = Item2VecConfig(
+            epochs=10, batch_size=1024, learning_rate=0.05, seed=1
+        )
+        vocab, emb = train_item2vec(ratings, cfg)
+        assert emb.shape == (20, 10)
+        # For every item, the 5 nearest neighbours should be same-cluster.
+        ok = 0
+        for v in vocab[:10]:
+            syn = find_synonyms(vocab, emb, int(v), 5)
+            ok += sum(1 for mid, _ in syn if (mid - 1) // 10 == (int(v) - 1) // 10)
+        assert ok >= 45, ok
+
+
+class TestDeepWalk:
+    def test_transition_matrix_probs(self):
+        seqs = [np.array([1, 2, 1, 3])]
+        vocab, trans, dist = transition_matrix(seqs)
+        assert vocab.tolist() == [1, 2, 3]
+        np.testing.assert_allclose(trans[0], [0, 0.5, 0.5])  # 1->2, 1->3
+        np.testing.assert_allclose(trans[1], [1, 0, 0])      # 2->1
+        assert dist[2] == 0  # 3 has no outgoing edges
+
+    def test_walks_respect_graph(self):
+        seqs = [np.array([1, 2]), np.array([2, 3]), np.array([3, 1])]
+        cfg = DeepWalkConfig(sample_count=64, sample_length=5, seed=0)
+        vocab, walks = random_walks(seqs, cfg)
+        allowed = {(1, 2), (2, 3), (3, 1)}
+        for w in walks:
+            for a, b in zip(w[:-1], w[1:]):
+                assert (int(a), int(b)) in allowed
+
+    def test_dead_end_truncates(self):
+        seqs = [np.array([1, 2])]  # 2 is a dead end
+        cfg = DeepWalkConfig(sample_count=16, sample_length=6, seed=0)
+        _, walks = random_walks(seqs, cfg)
+        for w in walks:
+            assert len(w) <= 2
+
+
+class TestUserEmb:
+    def test_mean_aggregation(self):
+        r = make_ratings([(1, 10, 5.0, 1), (1, 11, 1.0, 2), (2, 10, 3.0, 1)])
+        vocab = np.array([10, 11])
+        emb = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+        uids, uemb = generate_user_emb(r, vocab, emb)
+        assert uids.tolist() == [1, 2]
+        np.testing.assert_allclose(uemb[0], [0.5, 0.5])
+        np.testing.assert_allclose(uemb[1], [1.0, 0.0])
+
+    def test_sum_mode_and_missing_items(self):
+        r = make_ratings([(1, 10, 5.0, 1), (1, 99, 5.0, 2)])  # 99 unknown
+        vocab = np.array([10])
+        emb = np.array([[2.0, 2.0]], np.float32)
+        uids, uemb = generate_user_emb(r, vocab, emb, mode="sum")
+        np.testing.assert_allclose(uemb[0], [2.0, 2.0])
+
+
+class TestLSH:
+    def test_self_is_nearest(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.normal(size=(50, 10)).astype(np.float32)
+        ids = np.arange(100, 150)
+        index = LSHIndex(vecs, ids)
+        out = index.query(vecs[7], k=3)
+        assert out and out[0][0] == 107 and out[0][1] == pytest.approx(0.0)
+
+
+class TestArtifacts:
+    def test_round_trip(self, tmp_path):
+        path = str(tmp_path / "emb.csv")
+        vecs = np.array([[1.5, -2.0], [0.0, 3.25]], np.float32)
+        write_embeddings_csv(path, [7, 9], vecs)
+        loaded = load_embeddings_csv(path)
+        np.testing.assert_allclose(loaded[7], vecs[0])
+        np.testing.assert_allclose(loaded[9], vecs[1])
+
+
+class TestTopK:
+    def test_cosine_topk_exact(self):
+        from sparrowrecsys_tpu.ops.topk import cosine_topk
+
+        items = np.eye(4, dtype=np.float32)
+        q = np.array([[1.0, 0.1, 0.0, 0.0]], np.float32)
+        scores, idx = cosine_topk(q, items, 2)
+        assert np.asarray(idx)[0, 0] == 0 and np.asarray(idx)[0, 1] == 1
+
+    def test_sharded_matches_dense(self):
+        import jax
+        from jax.sharding import Mesh
+        from sparrowrecsys_tpu.ops.topk import cosine_topk, sharded_cosine_topk
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+        rng = np.random.default_rng(0)
+        items = rng.normal(size=(1003, 16)).astype(np.float32)
+        q = rng.normal(size=(5, 16)).astype(np.float32)
+        s1, i1 = cosine_topk(q, items, 7)
+        s2, i2 = sharded_cosine_topk(q, items, 7, mesh)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

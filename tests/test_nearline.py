@@ -1,0 +1,67 @@
+"""Nearline streaming tests."""
+
+import time
+
+import pytest
+
+from sparrowrecsys_tpu.nearline.stream import (
+    FileWatchSource,
+    LatestRatingStream,
+    RatingEvent,
+    attach_to_store,
+)
+
+
+def test_tail_source_emits_only_new_rows(tmp_path):
+    path = tmp_path / "ratings.csv"
+    path.write_text("userId,movieId,rating,timestamp\n1,10,4.0,100\n")
+    src = FileWatchSource(str(path), interval=0.01)
+    assert src.poll() == []  # existing content skipped
+    with open(path, "a") as f:
+        f.write("2,20,3.0,200\nbad,row\n3,30,5.0,300\n")
+    events = src.poll()
+    assert [(e.user_id, e.movie_id) for e in events] == [(2, 20), (3, 30)]
+    assert src.poll() == []
+
+
+def test_from_start_replays_existing(tmp_path):
+    path = tmp_path / "ratings.csv"
+    path.write_text("userId,movieId,rating,timestamp\n1,10,4.0,100\n")
+    src = FileWatchSource(str(path), interval=0.01, from_start=True)
+    events = src.poll()
+    assert [(e.user_id, e.movie_id) for e in events] == [(1, 10)]
+
+
+def test_window_keeps_latest_per_user(tmp_path):
+    path = tmp_path / "ratings.csv"
+    path.write_text("userId,movieId,rating,timestamp\n")
+    out = []
+    stream = LatestRatingStream(
+        FileWatchSource(str(path), interval=0.01, from_start=True),
+        window_seconds=0.15,
+        sink=out.append,
+    )
+    with open(path, "a") as f:
+        f.write("1,10,4.0,100\n1,11,3.0,300\n1,12,5.0,200\n2,20,2.0,50\n")
+    stream.run_for(0.4)
+    latest = {e.user_id: e.movie_id for e in out}
+    assert latest == {1: 11, 2: 20}  # max-by-timestamp per user
+
+
+def test_attach_to_store_updates_user_features(tmp_path):
+    from sparrowrecsys_tpu.serving.catalog import DataManager, User
+
+    dm = DataManager()
+    dm.users[7] = User(7)
+    path = tmp_path / "ratings.csv"
+    path.write_text("")
+    stream = LatestRatingStream(
+        FileWatchSource(str(path), interval=0.01, from_start=True),
+        window_seconds=0.1,
+        sink=lambda e: None,
+    )
+    attach_to_store(stream, dm)
+    with open(path, "a") as f:
+        f.write("7,42,5.0,999\n")
+    stream.run_for(0.25)
+    assert dm.users[7].user_features["latestMovieId"] == "42"

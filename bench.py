@@ -33,7 +33,60 @@ STEPS = 60
 WARMUP = 5
 
 
+def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -> dict:
+    """Retrieval queries/sec: exact cosine top-k over the item matrix
+    (BASELINE.json's 'retrieval recall@10 + queries/sec' metric; exact
+    search has recall@10 == 1.0 by construction)."""
+    import jax.numpy as jnp
+
+    from sparrowrecsys_tpu.ops.topk import cosine_topk
+
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(n_items, 64)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(n_queries, 64)).astype(np.float32))
+    s, i = cosine_topk(queries, items, k)  # compile
+    jax.block_until_ready((s, i))
+    t0 = time.perf_counter()
+    iters = 50
+    for _ in range(iters):
+        s, i = cosine_topk(queries, items, k)
+    jax.block_until_ready((s, i))
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "retrieval_topk_queries_per_sec",
+        "value": round(n_queries * iters / dt, 1),
+        "unit": f"queries/s (k={k}, {n_items} items)",
+        "vs_baseline": 1.0,
+    }
+
+
+def bench_scaling() -> dict:
+    from sparrowrecsys_tpu.parallel.scaling import measure_scaling
+
+    n = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8) if c <= n]
+    points = measure_scaling(counts, per_device_batch=4096, steps=30)
+    last = points[-1]
+    return {
+        "metric": "deepfm_scaling_efficiency",
+        "value": round(last.efficiency, 3),
+        "unit": f"fraction at {last.n_devices} devices",
+        "vs_baseline": 1.0,
+        "points": [
+            {"n": p.n_devices, "eps": round(p.examples_per_sec, 1)} for p in points
+        ],
+    }
+
+
 def main() -> None:
+    import sys
+
+    if "--retrieval" in sys.argv:
+        print(json.dumps(bench_retrieval()))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+        return
     n_chips = max(1, len(jax.devices()))
     model = build_model("deepfm")
     n = BATCH * 4

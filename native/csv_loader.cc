@@ -1,0 +1,171 @@
+// Native data-plane loader for sparrowrecsys_tpu.
+//
+// Fills the runtime role the reference delegates to heavyweight engines
+// (Spark's JVM CSV reader feeding the feature jobs, the JVM loader behind
+// DataManager.loadData): parsing multi-million-row MovieLens ratings and
+// `id:f f ...` embedding artifacts at memory bandwidth instead of Python
+// loop speed. Exposed as a C ABI consumed via ctypes
+// (sparrowrecsys_tpu/native/loader.py); the Python path remains as a
+// fallback so the framework runs without a toolchain.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Fast positive-integer parse; returns -1 on malformed input.
+inline int64_t parse_int(const char*& p, const char* end) {
+  int64_t v = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    ++p;
+    any = true;
+  }
+  return any ? v : -1;
+}
+
+inline double parse_float(const char*& p, const char* end) {
+  char* out = nullptr;
+  double v = strtod(p, &out);
+  if (out == p) return -1e300;
+  p = out > end ? end : out;
+  return v;
+}
+
+inline void skip_to(const char*& p, const char* end, char c) {
+  while (p < end && *p != c) ++p;
+  if (p < end) ++p;  // past the delimiter
+}
+
+struct Buffer {
+  char* data = nullptr;
+  size_t size = 0;
+};
+
+bool read_file(const char* path, Buffer* buf) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf->data = static_cast<char*>(malloc(n + 1));
+  buf->size = fread(buf->data, 1, n, f);
+  buf->data[buf->size] = '\0';
+  fclose(f);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a `userId,movieId,rating,timestamp` CSV (header skipped).
+// Returns the row count, filling caller-provided arrays sized via
+// count_csv_rows(). Malformed rows are skipped (ignore_errors parity
+// with make_csv_dataset / the Scala loaders).
+int64_t count_csv_rows(const char* path) {
+  Buffer buf;
+  if (!read_file(path, &buf)) return -1;
+  int64_t rows = 0;
+  for (size_t i = 0; i < buf.size; ++i)
+    if (buf.data[i] == '\n') ++rows;
+  if (buf.size > 0 && buf.data[buf.size - 1] != '\n') ++rows;
+  free(buf.data);
+  return rows > 0 ? rows - 1 : 0;  // minus header
+}
+
+int64_t load_ratings_csv(const char* path, int32_t* user_ids,
+                         int32_t* movie_ids, float* ratings,
+                         int64_t* timestamps, int64_t capacity) {
+  Buffer buf;
+  if (!read_file(path, &buf)) return -1;
+  const char* p = buf.data;
+  const char* end = buf.data + buf.size;
+  skip_to(p, end, '\n');  // header
+  int64_t n = 0;
+  while (p < end && n < capacity) {
+    const char* line_start = p;
+    int64_t u = parse_int(p, end);
+    if (p >= end || *p != ',') { skip_to(p, end, '\n'); continue; }
+    ++p;
+    int64_t m = parse_int(p, end);
+    if (p >= end || *p != ',') { skip_to(p, end, '\n'); continue; }
+    ++p;
+    double r = parse_float(p, end);
+    if (p >= end || *p != ',') { skip_to(p, end, '\n'); continue; }
+    ++p;
+    int64_t t = parse_int(p, end);
+    skip_to(p, end, '\n');
+    if (u < 0 || m < 0 || r == -1e300 || t < 0 || p == line_start) continue;
+    user_ids[n] = static_cast<int32_t>(u);
+    movie_ids[n] = static_cast<int32_t>(m);
+    ratings[n] = static_cast<float>(r);
+    timestamps[n] = t;
+    ++n;
+  }
+  free(buf.data);
+  return n;
+}
+
+// Parse an `id:f f f ...` embedding artifact. Two-pass API:
+// probe_embeddings fills *rows/*dim; load_embeddings fills ids + a
+// row-major [rows, dim] matrix.
+int64_t probe_embeddings(const char* path, int64_t* dim) {
+  Buffer buf;
+  if (!read_file(path, &buf)) return -1;
+  const char* p = buf.data;
+  const char* end = buf.data + buf.size;
+  // dim from the first line
+  const char* q = p;
+  skip_to(q, end, ':');
+  int64_t d = 0;
+  while (q < end && *q != '\n') {
+    while (q < end && (*q == ' ' || *q == '\r')) ++q;
+    if (q >= end || *q == '\n') break;
+    ++d;
+    while (q < end && *q != ' ' && *q != '\n' && *q != '\r') ++q;
+  }
+  *dim = d;
+  int64_t rows = 0;
+  for (const char* c = buf.data; c < end; ++c)
+    if (*c == '\n') ++rows;
+  if (buf.size > 0 && buf.data[buf.size - 1] != '\n') ++rows;
+  free(buf.data);
+  return rows;
+}
+
+int64_t load_embeddings(const char* path, int64_t* ids, float* matrix,
+                        int64_t rows, int64_t dim) {
+  Buffer buf;
+  if (!read_file(path, &buf)) return -1;
+  const char* p = buf.data;
+  const char* end = buf.data + buf.size;
+  int64_t n = 0;
+  while (p < end && n < rows) {
+    int64_t id = parse_int(p, end);
+    if (p >= end || *p != ':') { skip_to(p, end, '\n'); continue; }
+    ++p;
+    float* row = matrix + n * dim;
+    int64_t d = 0;
+    while (p < end && *p != '\n' && d < dim) {
+      while (p < end && (*p == ' ' || *p == '\r')) ++p;
+      if (p >= end || *p == '\n') break;
+      row[d++] = static_cast<float>(parse_float(p, end));
+    }
+    skip_to(p, end, '\n');
+    if (id >= 0 && d == dim) {
+      ids[n] = id;
+      ++n;
+    }
+  }
+  free(buf.data);
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,7 @@
+"""Native (C++) data-plane accelerators with pure-Python fallbacks."""
+
+from sparrowrecsys_tpu.native.loader import (
+    load_embeddings_native,
+    load_ratings_native,
+    native_available,
+)

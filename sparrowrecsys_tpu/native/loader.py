@@ -1,0 +1,115 @@
+"""ctypes bindings for the C++ data loader (native/csv_loader.cc).
+
+The shared library is built on demand (`make -C native`, g++ -O3) and
+cached; if no toolchain is available every entry point falls back to the
+Python loaders, so the framework never hard-depends on the native path.
+
+At MovieLens-20M scale the native ratings parse runs at memory bandwidth
+(~10-20x the Python csv module), which keeps the offline feature plane's
+wall-clock dominated by the vectorized numpy stages, not IO.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsparrow_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.count_csv_rows.restype = ctypes.c_int64
+        lib.count_csv_rows.argtypes = [ctypes.c_char_p]
+        lib.load_ratings_csv.restype = ctypes.c_int64
+        lib.load_ratings_csv.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32), np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_int64,
+        ]
+        lib.probe_embeddings.restype = ctypes.c_int64
+        lib.probe_embeddings.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)
+        ]
+        lib.load_embeddings.restype = ctypes.c_int64
+        lib.load_embeddings.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float32),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def load_ratings_native(path: str):
+    """Ratings loader: C++ fast path, Python fallback. Returns a
+    `data.movielens.Ratings`."""
+    from sparrowrecsys_tpu.data.movielens import Ratings, load_ratings
+
+    lib = _load_lib()
+    if lib is None:
+        return load_ratings(path)
+    cap = lib.count_csv_rows(path.encode())
+    if cap < 0:
+        raise FileNotFoundError(path)
+    u = np.empty(cap, np.int32)
+    m = np.empty(cap, np.int32)
+    r = np.empty(cap, np.float32)
+    t = np.empty(cap, np.int64)
+    n = lib.load_ratings_csv(path.encode(), u, m, r, t, cap)
+    return Ratings(u[:n], m[:n], r[:n], t[:n])
+
+
+def load_embeddings_native(path: str) -> Dict[int, np.ndarray]:
+    """Embedding artifact loader (`id:f f ...`): C++ fast path."""
+    from sparrowrecsys_tpu.embedding.artifacts import load_embeddings_csv
+
+    lib = _load_lib()
+    if lib is None:
+        return load_embeddings_csv(path)
+    dim = ctypes.c_int64(0)
+    rows = lib.probe_embeddings(path.encode(), ctypes.byref(dim))
+    if rows < 0:
+        raise FileNotFoundError(path)
+    if rows == 0 or dim.value == 0:
+        return {}
+    ids = np.empty(rows, np.int64)
+    matrix = np.empty((rows, dim.value), np.float32)
+    n = lib.load_embeddings(path.encode(), ids, matrix.reshape(-1), rows, dim.value)
+    return {int(ids[i]): matrix[i] for i in range(n)}

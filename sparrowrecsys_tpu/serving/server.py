@@ -64,6 +64,12 @@ class RecSysServer:
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:
         """Returns (status, content_type, body_bytes)."""
+        from sparrowrecsys_tpu.utils.observability import get_registry
+
+        reg = get_registry()
+        reg.incr(f"http.requests{path}" if path.startswith("/get") else "http.static")
+        if path == "/metrics":
+            return self._json(reg.snapshot())
         try:
             if path == "/getmovie":
                 m = self.dm.get_movie_by_id(int(q("id")))

@@ -1,0 +1,68 @@
+"""Native C++ loader parity tests (skipped when no toolchain)."""
+
+import numpy as np
+import pytest
+
+from sparrowrecsys_tpu.native import (
+    load_embeddings_native,
+    load_ratings_native,
+    native_available,
+)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+def test_ratings_parity(tmp_path):
+    from sparrowrecsys_tpu.data.movielens import load_ratings
+
+    path = tmp_path / "ratings.csv"
+    path.write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,10,4.5,100\n"
+        "garbage,row\n"        # skipped
+        "2,20,3.0,200\n"
+        "3,30,5,300\n"          # integer rating string
+    )
+    n = load_ratings_native(str(path))
+    assert len(n) == 3
+    assert n.user_ids.tolist() == [1, 2, 3]
+    assert n.ratings.tolist() == [4.5, 3.0, 5.0]
+    assert n.timestamps.tolist() == [100, 200, 300]
+
+
+@needs_native
+def test_embeddings_parity(tmp_path):
+    from sparrowrecsys_tpu.embedding.artifacts import (
+        load_embeddings_csv,
+        write_embeddings_csv,
+    )
+
+    path = str(tmp_path / "emb.csv")
+    vecs = np.random.default_rng(1).normal(size=(37, 10)).astype(np.float32)
+    ids = np.arange(100, 137)
+    write_embeddings_csv(path, ids, vecs)
+    a = load_embeddings_native(path)
+    b = load_embeddings_csv(path)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
+
+
+@needs_native
+def test_bundled_ratings_match_python(repo_data_root):
+    import os
+
+    from sparrowrecsys_tpu.data.movielens import load_ratings
+
+    path = os.path.join(repo_data_root, "ratings.csv")
+    if not os.path.exists(path):
+        pytest.skip("no bundled ratings.csv")
+    a = load_ratings_native(path)
+    b = load_ratings(path)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.user_ids, b.user_ids)
+    np.testing.assert_array_equal(a.movie_ids, b.movie_ids)
+    np.testing.assert_allclose(a.ratings, b.ratings)

@@ -283,6 +283,39 @@ class DataManager:
     def get_user_by_id(self, user_id: int) -> Optional[User]:
         return self.users.get(user_id)
 
+    def load_feature_store(
+        self, store, load_movie: bool = True, load_user: bool = True
+    ) -> None:
+        """Attach `mf:`/`uf:` hashes to entities — the role of
+        `DataManager.loadMovieFeatures` (DataManager.java:129-147, gated by
+        `Config.IS_LOAD_ITEM_FEATURE_FROM_REDIS`) and the per-request
+        `uf:<id>` fetch in `RecForYouProcess.java:49-56`."""
+        from sparrowrecsys_tpu.serving.feature_store import (
+            MOVIE_FEATURE_PREFIX,
+            USER_FEATURE_PREFIX,
+        )
+
+        if isinstance(store, str):
+            from sparrowrecsys_tpu.serving.feature_store import FeatureStore
+
+            store = FeatureStore.load(store)
+        if load_movie:
+            n = 0
+            for mid, movie in self.movies.items():
+                feats = store.hgetall(f"{MOVIE_FEATURE_PREFIX}{mid}")
+                if feats is not None:
+                    movie.movie_features = feats
+                    n += 1
+            print(f"Loading movie features completed. {n} movie features.")
+        if load_user:
+            n = 0
+            for uid, user in self.users.items():
+                feats = store.hgetall(f"{USER_FEATURE_PREFIX}{uid}")
+                if feats is not None:
+                    user.user_features = feats
+                    n += 1
+            print(f"Loading user features completed. {n} user features.")
+
     # ---- embedding access for the rankers -------------------------------
     def movie_emb_row(self, movie_id: int) -> int:
         return self._movie_emb_row.get(movie_id, -1)

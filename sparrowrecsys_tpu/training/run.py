@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--train", default=None, help="trainingSamples.csv path")
     ap.add_argument("--test", default=None, help="testSamples.csv path")
     ap.add_argument("--data-root", default=None)
+    ap.add_argument(
+        "--export", default=None, metavar="DIR",
+        help="export a versioned checkpoint (NeuralCF.py:106-114 parity: "
+        "e.g. data/modeldata/neuralcf -> .../NNN/)",
+    )
     args = ap.parse_args()
 
     from sparrowrecsys_tpu.config import DataConfig, TrainConfig
@@ -59,6 +64,17 @@ def main() -> None:
     model = build_model(args.model)
     trainer = Trainer(model, cfg, loss_fn=loss_fn)
     result = trainer.fit(train_ds, test=test_ds)
+
+    if args.export:
+        from sparrowrecsys_tpu.training.checkpoint import save
+
+        vdir = save(
+            result.params,
+            args.export,
+            meta={"model": args.model, "metrics": result.eval_metrics},
+            keep=cfg.checkpoint_keep,
+        )
+        print(f"exported checkpoint: {vdir}")
 
     probs = trainer.predict(result.params, test_ds)[:12]
     labels = test_ds.labels[:12]

@@ -130,6 +130,32 @@ class EncodedDataset:
                 yield f, l, None
 
 
+def standardize(
+    train: EncodedDataset, *others: "EncodedDataset"
+) -> Tuple["EncodedDataset", ...]:
+    """Z-score the numeric columns using TRAIN statistics.
+
+    The reference feeds raw numerics (releaseYear ~ 1990, counts in the
+    thousands) straight into Dense layers (`EmbeddingMLP.py:68-74`), which
+    inflates early losses; parity runs keep that behaviour. This opt-in
+    transform is the TPU-native default for quality-focused training
+    (`training.run --standardize`).
+    """
+    stats = {}
+    for c in FLOAT_FEATURES:
+        v = train.features[c]
+        mu, sd = float(v.mean()), float(v.std())
+        stats[c] = (mu, sd if sd > 1e-6 else 1.0)
+
+    def apply(ds: EncodedDataset) -> EncodedDataset:
+        feats = dict(ds.features)
+        for c, (mu, sd) in stats.items():
+            feats[c] = ((ds.features[c] - mu) / sd).astype(np.float32)
+        return EncodedDataset(feats, ds.labels)
+
+    return tuple(apply(d) for d in (train, *others))
+
+
 def encode_samples(table: SampleTable) -> EncodedDataset:
     """SampleTable -> EncodedDataset (drops rating/timestamp bookkeeping)."""
     feats: Dict[str, np.ndarray] = {}

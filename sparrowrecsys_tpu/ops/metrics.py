@@ -88,6 +88,7 @@ def update_metrics(
     )
 
 
+@jax.jit
 def finalize_metrics(state: MetricState) -> Dict[str, jnp.ndarray]:
     """Compute loss/accuracy/ROC-AUC/PR-AUC from streaming state.
 

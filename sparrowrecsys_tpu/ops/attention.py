@@ -25,10 +25,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _unit(h, c, w1, b1, alpha, w2, b2):
-    """Shared math: h [*, T, D], c [*, D] broadcastable."""
-    ce = jnp.broadcast_to(c[..., None, :], h.shape)
-    feats = jnp.concatenate([h - ce, h, ce, h * ce], axis=-1)  # [*, T, 4D]
-    a = jnp.dot(feats, w1, preferred_element_type=jnp.float32) + b1
+    """Shared math: h [*, T, D], c [*, D] broadcastable.
+
+    The concat([h-c, h, c, h*c]) @ w1 of the reference graph is expanded
+    algebraically — with w1 = [wa; wb; wc; wd] row blocks:
+        feats @ w1 = h @ (wa + wb) + c @ (wc - wa) + (h*c) @ wd
+    which skips materializing the [*, T, 4D] tensor (4x less VMEM/HBM
+    traffic; exact same numbers)."""
+    d = h.shape[-1]
+    wa, wb, wc, wd = w1[:d], w1[d : 2 * d], w1[2 * d : 3 * d], w1[3 * d :]
+    ce = c[..., None, :]
+    a = (
+        jnp.dot(h, wa + wb, preferred_element_type=jnp.float32)
+        + jnp.dot(ce, wc - wa, preferred_element_type=jnp.float32)
+        + jnp.dot(h * ce, wd, preferred_element_type=jnp.float32)
+        + b1
+    )
     a = jnp.where(a >= 0, a, alpha * a)  # PReLU
     logit = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2  # [*, T, 1]
     w = jax.nn.sigmoid(logit)
@@ -58,9 +70,17 @@ def _din_kernel(h_ref, c_ref, w1_ref, b1_ref, a_ref, w2_ref, b2_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def din_attention_pallas(
-    hist, cand, w1, b1, alpha, w2, b2, block_b: int = 128
+    hist, cand, w1, b1, alpha, w2, b2, block_b: int = 0
 ):
     b, t, d = hist.shape
+    h_dim = w1.shape[1]
+    if block_b <= 0:
+        # Size the batch block so live buffers (h, h*c, a, plus pipeline
+        # double-buffering) stay well under the ~16 MB VMEM budget.
+        per_row = t * (3 * d + 2 * h_dim) * 4  # bytes, rough upper bound
+        block_b = 128
+        while block_b > 8 and block_b * per_row * 2 > 6 * 1024 * 1024:
+            block_b //= 2
     block_b = min(block_b, b)
     if b % block_b != 0:
         return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)
@@ -86,9 +106,14 @@ def din_attention_pallas(
 def din_attention(
     hist, cand, w1, b1, alpha, w2, b2, use_pallas: Optional[bool] = None
 ):
-    """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D]."""
+    """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D].
+
+    Measured on TPU v5e (tools/kernel_bench.py -> KERNELS.md): the fused
+    kernel wins for histories T >= 32 (22.9 vs 28.1 us at T=64, 29.7 vs
+    35.4 us at T=256); XLA's fusion wins at the MovieLens T=5.
+    """
     if use_pallas is None:
-        use_pallas = False
+        use_pallas = hist.shape[-2] >= 32
     if use_pallas and jax.default_backend() == "tpu":
         return din_attention_pallas(hist, cand, w1, b1, alpha, w2, b2)
     return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)

@@ -58,12 +58,14 @@ def fm_cross_pallas(fields: jnp.ndarray, block_b: int = 256) -> jnp.ndarray:
 def fm_cross(fields: jnp.ndarray, use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """[B, F, D] -> [B, D]. Auto-selects implementation.
 
-    XLA's fusion is the right default here (F*D is tiny and the op fuses
-    into adjacent matmuls); the Pallas path exists for large-batch serving
-    scoring and as the template for bigger FM variants.
+    Measured on TPU v5e (tools/kernel_bench.py -> KERNELS.md): XLA's fusion
+    wins at training shapes (it folds the op into adjacent matmuls); the
+    Pallas tiling wins for very large serving batches (29.8 vs 41.8 us at
+    B=32768, F=16, D=128).
     """
     if use_pallas is None:
-        use_pallas = False
+        b = fields.shape[0]
+        use_pallas = b >= 32768
     if use_pallas and jax.default_backend() == "tpu":
         return fm_cross_pallas(fields)
     return fm_cross_xla(fields)

@@ -77,20 +77,21 @@ def skipgram_pairs(
     vocab_ids, inv = np.unique(flat, return_inverse=True)
     counts = np.bincount(inv, minlength=len(vocab_ids)).astype(np.float64)
 
-    centers, contexts = [], []
-    offset = 0
-    for seq in sequences:
-        n = len(seq)
-        idx = inv[offset : offset + n]
-        offset += n
-        for d in range(1, window + 1):
-            if n <= d:
-                continue
-            a, b = idx[:-d], idx[d:]
-            centers.append(a); contexts.append(b)   # center -> right context
-            centers.append(b); contexts.append(a)   # center -> left context
-    if centers:
-        c = np.concatenate(centers); x = np.concatenate(contexts)
+    # Vectorized pair extraction over ALL sequences at once: positions that
+    # are >= d steps before their sequence's end pair with the position d
+    # ahead (no per-sequence Python loop — scales to 20M-event corpora).
+    n_total = len(flat)
+    lens = np.array([len(s) for s in sequences], np.int64)
+    ends = np.repeat(np.cumsum(lens), lens)          # seq end (excl) per pos
+    pos = np.arange(n_total)
+    centers_parts, contexts_parts = [], []
+    for d in range(1, window + 1):
+        ok = pos + d < ends
+        a, b = inv[pos[ok]], inv[pos[ok] + d]
+        centers_parts.append(a); contexts_parts.append(b)  # center -> right
+        centers_parts.append(b); contexts_parts.append(a)  # center -> left
+    if centers_parts:
+        c = np.concatenate(centers_parts); x = np.concatenate(contexts_parts)
     else:
         c = np.empty(0, np.int64); x = np.empty(0, np.int64)
     return c.astype(np.int32), x.astype(np.int32), vocab_ids, counts

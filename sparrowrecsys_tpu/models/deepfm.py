@@ -34,6 +34,7 @@ from sparrowrecsys_tpu.models.features import (
     GenreEmbed,
     IdBias,
     IdEmbed,
+    compute_dtype,
     numeric_stack,
 )
 from sparrowrecsys_tpu.ops.fm import fm_cross
@@ -43,6 +44,7 @@ class DeepFM(nn.Module):
     """DeepFM v1 — pairwise-dot FM."""
 
     deep_hidden: int = 64
+    compute_dtype: str = "float32"
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
@@ -85,9 +87,11 @@ class DeepFM(nn.Module):
             axis=-1,
         )
 
+        dt = compute_dtype(self.compute_dtype)
         deep = jnp.concatenate([numeric_stack(features), item, user], axis=-1)
-        deep = nn.relu(nn.Dense(self.deep_hidden, name="deep1")(deep))
-        deep = nn.relu(nn.Dense(self.deep_hidden, name="deep2")(deep))
+        deep = nn.relu(nn.Dense(self.deep_hidden, dtype=dt, name="deep1")(deep))
+        deep = nn.relu(nn.Dense(self.deep_hidden, dtype=dt, name="deep2")(deep))
+        deep = deep.astype(jnp.float32)
 
         x = jnp.concatenate([dots, deep], axis=-1)
         return nn.Dense(1, name="out")(x)[..., 0] + first
@@ -97,6 +101,7 @@ class DeepFMv2(nn.Module):
     """DeepFM v2 — full FM cross via sum-square minus square-sum."""
 
     field_dim: int = 64
+    compute_dtype: str = "float32"
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
@@ -143,9 +148,11 @@ class DeepFMv2(nn.Module):
 
         fm = fm_cross(fields)  # [B, 64]
 
+        dt = compute_dtype(self.compute_dtype)
         deep = fields.reshape(fields.shape[0], -1)
-        deep = nn.relu(nn.Dense(32, name="deep1")(deep))
-        deep = nn.relu(nn.Dense(16, name="deep2")(deep))
+        deep = nn.relu(nn.Dense(32, dtype=dt, name="deep1")(deep))
+        deep = nn.relu(nn.Dense(16, dtype=dt, name="deep2")(deep))
+        deep = deep.astype(jnp.float32)
 
         x = jnp.concatenate([first[:, None], fm, deep], axis=-1)
         return nn.Dense(1, name="out")(x)[..., 0]

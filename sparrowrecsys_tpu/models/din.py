@@ -30,6 +30,7 @@ from sparrowrecsys_tpu.models.features import (
     GenreEmbed,
     IdEmbed,
     PReLU,
+    compute_dtype,
     history_stack,
     numeric_stack,
 )
@@ -41,6 +42,7 @@ class DIN(nn.Module):
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
     attention_hidden: int = 32
+    compute_dtype: str = "float32"
     use_pallas: bool = False
 
     @nn.compact
@@ -94,7 +96,8 @@ class DIN(nn.Module):
             axis=-1,
         )
 
+        dt = compute_dtype(self.compute_dtype)
         x = jnp.concatenate([user_profile, pooled, cand, context], axis=-1)
-        x = PReLU(name="prelu1")(nn.Dense(128, name="fc1")(x))
-        x = PReLU(name="prelu2")(nn.Dense(64, name="fc2")(x))
+        x = PReLU(name="prelu1")(nn.Dense(128, dtype=dt, name="fc1")(x).astype(jnp.float32))
+        x = PReLU(name="prelu2")(nn.Dense(64, dtype=dt, name="fc2")(x).astype(jnp.float32))
         return nn.Dense(1, name="out")(x)[..., 0]

@@ -21,12 +21,14 @@ from sparrowrecsys_tpu.models.features import (
     GENRE_COLS,
     GenreEmbed,
     IdEmbed,
+    compute_dtype,
     numeric_stack,
 )
 
 
 class EmbeddingMLP(nn.Module):
     hidden: int = 128
+    compute_dtype: str = "float32"
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
@@ -42,7 +44,8 @@ class EmbeddingMLP(nn.Module):
         parts.append(
             IdEmbed(self.user_buckets, self.dim, name="emb_userId")(features["userId"])
         )
+        dt = compute_dtype(self.compute_dtype)
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.relu(nn.Dense(self.hidden, name="dense1")(x))
-        x = nn.relu(nn.Dense(self.hidden, name="dense2")(x))
-        return nn.Dense(1, name="out")(x)[..., 0]
+        x = nn.relu(nn.Dense(self.hidden, dtype=dt, name="dense1")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=dt, name="dense2")(x))
+        return nn.Dense(1, name="out")(x.astype(jnp.float32))[..., 0]

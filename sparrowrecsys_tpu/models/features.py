@@ -102,6 +102,13 @@ def history_stack(features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return jnp.stack([features[c] for c in HISTORY_COLS], axis=-1)
 
 
+def compute_dtype(name: str):
+    """Map ModelConfig.compute_dtype to a jnp dtype. bfloat16 hidden layers
+    keep fp32 params (flax default param_dtype) and fp32 logits — the
+    MXU-native mixed-precision recipe; AUC-neutral at these widths."""
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
 class PReLU(nn.Module):
     """Keras-compatible PReLU: learnable per-channel negative slope, init 0."""
 

@@ -27,6 +27,7 @@ from sparrowrecsys_tpu.models.features import (
     GenreEmbed,
     IdBias,
     IdEmbed,
+    compute_dtype,
     numeric_stack,
 )
 
@@ -47,6 +48,7 @@ def cross_hash(a: jnp.ndarray, b: jnp.ndarray, buckets: int) -> jnp.ndarray:
 
 class WideNDeep(nn.Module):
     hidden: int = 128
+    compute_dtype: str = "float32"
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
@@ -63,9 +65,11 @@ class WideNDeep(nn.Module):
         parts.append(
             IdEmbed(self.user_buckets, self.dim, name="emb_userId")(features["userId"])
         )
+        dt = compute_dtype(self.compute_dtype)
         deep = jnp.concatenate(parts, axis=-1)
-        deep = nn.relu(nn.Dense(self.hidden, name="deep1")(deep))
-        deep = nn.relu(nn.Dense(self.hidden, name="deep2")(deep))
+        deep = nn.relu(nn.Dense(self.hidden, dtype=dt, name="deep1")(deep))
+        deep = nn.relu(nn.Dense(self.hidden, dtype=dt, name="deep2")(deep))
+        deep = deep.astype(jnp.float32)
 
         crossed = cross_hash(
             features["movieId"], features["userRatedMovie1"], self.cross_buckets

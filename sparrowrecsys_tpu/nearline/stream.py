@@ -134,6 +134,32 @@ class LatestRatingStream:
             self._thread.join(timeout=2)
 
 
+def main() -> None:
+    """`RealTimeFeature.main` parity (RealTimeFeature.java:79-81): watch a
+    ratings CSV and print per-user latest-movie features per 1s window.
+
+        python -m sparrowrecsys_tpu.nearline.stream [--ratings PATH]
+            [--from-start] [--duration SECONDS]
+    """
+    import argparse
+
+    from sparrowrecsys_tpu.config import DataConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ratings", default=None)
+    ap.add_argument("--from-start", action="store_true",
+                    help="replay existing rows (the reference re-reads the "
+                    "whole file; default here is tail-only)")
+    ap.add_argument("--duration", type=float, default=30.0)
+    args = ap.parse_args()
+    path = args.ratings or DataConfig().path("ratings.csv")
+    stream = LatestRatingStream(
+        FileWatchSource(path, interval=0.1, from_start=args.from_start)
+    )
+    print(f"watching {path} for {args.duration}s ...")
+    stream.run_for(args.duration)
+
+
 def attach_to_store(stream: LatestRatingStream, dm) -> None:
     """Wire the stream into the serving catalog: update the user's
     `user_features['latestMovieId']` — the Redis `uf:<id>` hash role."""
@@ -148,3 +174,7 @@ def attach_to_store(stream: LatestRatingStream, dm) -> None:
         base_sink(e)
 
     stream.sink = sink
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Retrieval training: two-tower with in-batch sampled-softmax negatives.
+
+A first-class capability the reference lacks: its NeuralCF towers are
+trained pointwise on CTR labels (`NeuralCF.py:83-93`), which ranks unseen
+movies arbitrarily over the whole catalog (recall@10 ~ random — measured
+in recall.json). This trainer optimizes the towers the retrieval way:
+each batch of positive (user, movie) pairs forms a [B, B] logit matrix
+(user i x item j dot products); the diagonal is the positive class of a
+softmax cross-entropy — every other in-batch item is a negative.
+
+Same TPU scheduling design as the CTR trainer: the positive-pair arrays
+live on device and a whole epoch runs as one `lax.scan` dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparrowrecsys_tpu.data.dataset import EncodedDataset
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    batch_size: int = 1024
+    epochs: int = 20
+    learning_rate: float = 1e-3
+    seed: int = 0
+
+
+class RetrievalTrainer:
+    """Trains a `NeuralCFTwoTower`-style model (must expose `user_tower`
+    and `item_tower` methods) on positive pairs."""
+
+    def __init__(self, model, config: RetrievalConfig = RetrievalConfig()):
+        self.model = model
+        self.config = config
+        self.tx = optax.adam(config.learning_rate)
+
+    def _loss(self, params, users, movies):
+        uv = self.model.apply({"params": params}, users, method=self.model.user_tower)
+        iv = self.model.apply({"params": params}, movies, method=self.model.item_tower)
+        logits = jnp.dot(uv, iv.T, preferred_element_type=jnp.float32)
+        labels = jnp.arange(logits.shape[0])
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    def fit(self, ds: EncodedDataset, params=None):
+        """Train on the positive rows of a CTR dataset. Returns params."""
+        cfg = self.config
+        pos = ds.labels > 0.5
+        users = ds.features["userId"][pos].astype(np.int32)
+        movies = ds.features["movieId"][pos].astype(np.int32)
+        n = len(users)
+        bs = min(cfg.batch_size, max(n, 1))
+        steps = max(n // bs, 1)
+
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(cfg.seed),
+                {"movieId": jnp.zeros(2, jnp.int32), "userId": jnp.zeros(2, jnp.int32)},
+            )["params"]
+        opt_state = self.tx.init(params)
+        users_d, movies_d = jnp.asarray(users), jnp.asarray(movies)
+
+        loss_fn = self._loss
+        tx = self.tx
+
+        @jax.jit
+        def epoch(params, opt_state, users_all, movies_all, key):
+            perm = jax.random.permutation(key, n)[: steps * bs].reshape(steps, bs)
+
+            def body(carry, idx):
+                p, o = carry
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, jnp.take(users_all, idx), jnp.take(movies_all, idx)
+                )
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), perm
+            )
+            return params, opt_state, losses.mean()
+
+        key = jax.random.PRNGKey(cfg.seed)
+        last_loss = None
+        for _ in range(cfg.epochs):
+            key, sub = jax.random.split(key)
+            params, opt_state, last_loss = epoch(
+                params, opt_state, users_d, movies_d, sub
+            )
+        if last_loss is not None:
+            jax.block_until_ready(last_loss)
+        return params
+
+    def item_matrix(self, params, n_items: int) -> jnp.ndarray:
+        """Encode item ids 0..n_items-1 -> [n, H] for the retrieval index."""
+        return self.model.apply(
+            {"params": params}, jnp.arange(n_items, dtype=jnp.int32),
+            method=self.model.item_tower,
+        )
+
+    def user_vectors(self, params, user_ids) -> jnp.ndarray:
+        return self.model.apply(
+            {"params": params}, jnp.asarray(np.asarray(user_ids, np.int32)),
+            method=self.model.user_tower,
+        )

@@ -74,58 +74,25 @@ def retrieval_two_tower_recall(
     training that the reference lacks (its NeuralCF is pointwise-CTR only,
     which ranks unseen movies arbitrarily; this mode makes the towers a
     real retrieval model)."""
-    import jax
     import jax.numpy as jnp
-    import optax
 
     from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.training.retrieval import (
+        RetrievalConfig,
+        RetrievalTrainer,
+    )
 
     model = build_model("neuralcf_two_tower", hidden=(32, 32))
-    pos = train_ds.labels > 0.5
-    users = train_ds.features["userId"][pos].astype(np.int32)
-    movies = train_ds.features["movieId"][pos].astype(np.int32)
-    n = len(users)
-    bs = min(1024, n)
-
-    params = model.init(
-        jax.random.PRNGKey(seed),
-        {"movieId": jnp.zeros(2, jnp.int32), "userId": jnp.zeros(2, jnp.int32)},
-    )["params"]
-    tx = optax.adam(1e-3)
-    opt = tx.init(params)
-
-    def loss_fn(params, u, m):
-        uv = model.apply({"params": params}, u, method=model.user_tower)
-        iv = model.apply({"params": params}, m, method=model.item_tower)
-        logits = jnp.dot(uv, iv.T)          # [B, B] in-batch negatives
-        labels = jnp.arange(logits.shape[0])
-        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-
-    @jax.jit
-    def step(params, opt, u, m):
-        loss, grads = jax.value_and_grad(loss_fn)(params, u, m)
-        updates, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, updates), opt, loss
-
-    rng = np.random.default_rng(seed)
-    for _ in range(epochs * 4):  # cheap epochs; pairs-only dataset is small
-        order = rng.permutation(n)
-        for s in range(n // bs):
-            idx = order[s * bs : (s + 1) * bs]
-            params, opt, _ = step(
-                params, opt, jnp.asarray(users[idx]), jnp.asarray(movies[idx])
-            )
-
-    all_movies = jnp.arange(1001, dtype=jnp.int32)
-    item_vecs = model.apply({"params": params}, all_movies, method=model.item_tower)
+    trainer = RetrievalTrainer(
+        model, RetrievalConfig(batch_size=1024, epochs=epochs * 4, seed=seed)
+    )
+    params = trainer.fit(train_ds)
+    item_vecs = trainer.item_matrix(params, 1001)
     tpos = test_ds.labels > 0.5
     tusers = test_ds.features["userId"][tpos]
     tmovies = test_ds.features["movieId"][tpos]
     uniq = np.unique(tusers)
-    uvecs = model.apply(
-        {"params": params}, jnp.asarray(uniq.astype(np.int32)),
-        method=model.user_tower,
-    )
+    uvecs = trainer.user_vectors(params, uniq)
     scores = np.asarray(jnp.dot(uvecs, item_vecs.T))
     topk = np.argpartition(-scores, k, axis=1)[:, :k]
     row_of = {int(u): i for i, u in enumerate(uniq)}

@@ -62,6 +62,60 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     }
 
 
+def bench_serving() -> dict:
+    """End-to-end HTTP serving throughput on /getrecforyou?model=emb —
+    the reference's hot path (800-candidate ranking per request,
+    RecForYouProcess.java:30-99) through our batched-cosine ranker."""
+    import os
+    import threading
+    import urllib.request
+
+    from sparrowrecsys_tpu.config import ServingConfig
+    from sparrowrecsys_tpu.serving.catalog import DataManager
+    from sparrowrecsys_tpu.serving.server import RecSysServer
+
+    REF = "/root/reference/src/main/resources/webroot/sampledata"
+    dm = DataManager().load_data(
+        f"{REF}/movies.csv", None, "data/ratings.csv",
+        "data/modeldata/item2vecEmb.csv", "data/modeldata/userEmb.csv",
+    )
+    os.environ["PORT"] = "0"
+    server = RecSysServer(dm, ServingConfig(port=0))
+    server.start()
+    uids = [int(u) for u in dm.user_emb_ids[:64]]
+    base = f"http://localhost:{server.port}"
+
+    def worker(count, out, wi):
+        for i in range(count):
+            uid = uids[(wi * count + i) % len(uids)]
+            with urllib.request.urlopen(
+                f"{base}/getrecforyou?id={uid}&size=32&model=emb", timeout=30
+            ) as r:
+                r.read()
+        out[wi] = count
+
+    # warm
+    worker(5, {}, 0)
+    n_threads, per = 8, 50
+    out = {}
+    threads = [
+        threading.Thread(target=worker, args=(per, out, i)) for i in range(n_threads)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    server.stop()
+    return {
+        "metric": "serving_recforyou_requests_per_sec",
+        "value": round(n_threads * per / dt, 1),
+        "unit": "req/s (800-candidate emb ranking)",
+        "vs_baseline": 1.0,
+    }
+
+
 def bench_scaling() -> dict:
     from sparrowrecsys_tpu.parallel.scaling import measure_scaling
 
@@ -88,6 +142,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
+        return
+    if "--serving" in sys.argv:
+        print(json.dumps(bench_serving()))
         return
     n_chips = max(1, len(jax.devices()))
     model = build_model("deepfm")

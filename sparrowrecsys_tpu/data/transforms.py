@@ -112,3 +112,48 @@ def movie_rating_stats(
         var = (total_sq - total ** 2 / count) / np.maximum(count - 1, 1)
     var[count < 2] = np.nan  # Spark variance of a single row is NaN
     return {"movieId": uniq, "count": count, "avgRating": avg, "ratingVar": var}
+
+
+def main() -> None:
+    """`FeatureEngineering.main` parity — the printing demo
+    (`offline/spark/featureeng/FeatureEngineering.scala:125-158`): one-hot
+    of movieId, genre multi-hot, per-movie rating stats with a
+    100-bucket QuantileDiscretizer + MinMaxScaler."""
+    import argparse
+
+    from sparrowrecsys_tpu.config import DataConfig
+    from sparrowrecsys_tpu.data.movielens import load_movies, load_ratings
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default=None)
+    args = ap.parse_args()
+    data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    import os
+
+    movies_path = data.path(data.movies_csv)
+    if not os.path.exists(movies_path):
+        movies_path = "/root/reference/src/main/resources/webroot/sampledata/movies.csv"
+    catalog = load_movies(movies_path)
+    ratings = load_ratings(data.path(data.ratings_csv))
+
+    oh = one_hot(catalog.movie_ids[:10] % 1001, 1001)
+    print(f"one-hot sample: shape={oh.shape}, nonzeros={int(oh.sum())}")
+
+    mh, indexer = multi_hot(catalog.genres[:10])
+    print(f"multi-hot sample: shape={mh.shape}, vocab={indexer.labels[:5]}...")
+
+    stats = movie_rating_stats(ratings.movie_ids, ratings.ratings)
+    qd = QuantileDiscretizer.fit(stats["count"].astype(np.float64), 100)
+    buckets = qd.transform(stats["count"].astype(np.float64))
+    sc = MinMaxScaler.fit(stats["avgRating"][:, None])
+    scaled = sc.transform(stats["avgRating"][:, None])
+    for i in range(min(5, len(stats["movieId"]))):
+        print(
+            f"movie {stats['movieId'][i]}: count={stats['count'][i]} "
+            f"avg={stats['avgRating'][i]:.2f} var={stats['ratingVar'][i]:.2f} "
+            f"countBucket={buckets[i]} scaledAvg={scaled[i,0]:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

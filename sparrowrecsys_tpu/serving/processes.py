@@ -95,12 +95,35 @@ class RecForYouProcess:
     def __init__(self, dm: DataManager, scorer: Optional[ModelScorer] = None):
         self.dm = dm
         self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
+        # The top-800 candidate set only changes when the catalog does
+        # (read-only after load), so it is computed once — the reference
+        # re-sorts the whole catalog per request (RecForYouProcess.java:37).
+        self._candidates: Optional[List[Movie]] = None
+        self._candidate_matrix = None  # aligned [800, D] embedding rows
+
+    def _candidate_set(self):
+        import numpy as np
+
+        if self._candidates is None:
+            cands = self.dm.get_movies(CANDIDATE_SIZE, "rating")
+            d = (
+                self.dm.movie_emb_matrix.shape[1]
+                if self.dm.movie_emb_matrix.size
+                else 0
+            )
+            mat = np.zeros((len(cands), d), np.float32)
+            for i, m in enumerate(cands):
+                row = self.dm.movie_emb_row(m.movie_id)
+                if row >= 0 and d:
+                    mat[i] = self.dm.movie_emb_matrix[row]
+            self._candidates, self._candidate_matrix = cands, mat
+        return self._candidates, self._candidate_matrix
 
     def get_rec_list(self, user_id: int, size: int, model: str) -> List[Movie]:
         user = self.dm.get_user_by_id(user_id)
         if user is None:
             return []
-        candidates = self.dm.get_movies(CANDIDATE_SIZE, "rating")
+        candidates, _ = self._candidate_set()
         ranked = self.ranker(user, candidates, model)
         return ranked[:size]
 
@@ -116,8 +139,19 @@ class RecForYouProcess:
         return list(candidates)  # default: preserve candidate order
 
     def _rank_user_emb(self, user: User, candidates: List[Movie]) -> List[Movie]:
+        import numpy as np
+
+        from sparrowrecsys_tpu.serving.rankers import cosine_scores_batch
+
         emb = user.emb
         if emb is None:
             row = self.dm.user_emb_row(user.user_id)
             emb = self.dm.user_emb_matrix[row] if row >= 0 else None
+        if emb is None:
+            return list(candidates)
+        cached, mat = self._candidate_set()
+        if candidates is cached and mat.size:
+            scores = cosine_scores_batch(np.asarray(emb, np.float32), mat)
+            order = np.argsort(-scores, kind="stable")
+            return [candidates[i] for i in order]
         return rank_by_embedding(emb, candidates, self.dm)

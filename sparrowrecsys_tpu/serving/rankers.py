@@ -15,11 +15,17 @@ Replaces the reference's three scoring paths:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from sparrowrecsys_tpu.serving.catalog import DataManager, Movie, User
+
+#: Device work from HTTP worker threads is serialized: the jitted scoring
+#: calls are microseconds, but the PJRT client (especially the remote-
+#: attached one) is not safe under concurrent dispatch from many threads.
+_DEVICE_LOCK = threading.Lock()
 
 
 def cosine_scores_batch(query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
@@ -30,7 +36,10 @@ def cosine_scores_batch(query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
 
     if matrix.size == 0 or query.size == 0:
         return np.full(len(matrix), -1.0, np.float32)
-    s = np.array(cosine_scores(jnp.asarray(query[None, :]), jnp.asarray(matrix)))[0]
+    with _DEVICE_LOCK:
+        s = np.array(
+            cosine_scores(jnp.asarray(query[None, :]), jnp.asarray(matrix))
+        )[0]
     dead = ~np.any(matrix != 0, axis=1)
     s[dead] = -1.0
     return s
@@ -115,11 +124,12 @@ class ModelScorer:
             pad *= 2
         mids = np.zeros(pad, np.int32)
         mids[:n] = np.asarray(movie_ids, np.int32)
-        feats = {
-            "movieId": jnp.asarray(mids),
-            "userId": jnp.asarray(np.full(pad, user_id, np.int32)),
-        }
-        return np.asarray(self._score(self.params, feats))[:n]
+        with _DEVICE_LOCK:
+            feats = {
+                "movieId": jnp.asarray(mids),
+                "userId": jnp.asarray(np.full(pad, user_id, np.int32)),
+            }
+            return np.asarray(self._score(self.params, feats))[:n]
 
 
 class RestScorer:

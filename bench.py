@@ -146,9 +146,13 @@ def main() -> None:
     if "--serving" in sys.argv:
         print(json.dumps(bench_serving()))
         return
+    import jax.numpy as jnp
+
+    from sparrowrecsys_tpu.ops import metrics as M
+
     n_chips = max(1, len(jax.devices()))
     model = build_model("deepfm")
-    n = BATCH * 4
+    n = BATCH * 64  # 524k examples per epoch
     feats = _example_features(n)
     labels = (np.random.default_rng(0).random(n) > 0.5).astype(np.float32)
     ds = EncodedDataset(feats, labels)
@@ -157,32 +161,30 @@ def main() -> None:
     trainer._build_steps()
     params = trainer.init_params(ds.features)
     opt_state = trainer.tx.init(params)
-    from sparrowrecsys_tpu.ops import metrics as M
-
     mstate = M.init_metrics()
 
-    batches = list(trainer._batches(ds, BATCH, False, 0))
-    # Warmup (compile) then timed steps; best-of-3 repeats — the remote
-    # TPU attachment has high run-to-run variance and the steady-state
-    # capability is the meaningful number.
-    for i in range(WARMUP):
-        f, l, m = batches[i % len(batches)]
-        params, opt_state, mstate = trainer._train_step(
-            params, opt_state, mstate, f, l, m
+    # Production schedule: the whole epoch (64 steps) is ONE scan dispatch
+    # with device-resident data (training.loop's fit path). Epoch 0 pays
+    # compile; best-of-3 steady epochs is the recorded number.
+    data = {k: jnp.asarray(v) for k, v in ds.features.items()}
+    labels_d = jnp.asarray(ds.labels)
+    for it in range(1):
+        params, opt_state, mstate = trainer._train_epoch(
+            params, opt_state, mstate, data, labels_d,
+            jax.random.PRNGKey(it), n=n, batch_size=BATCH, shuffle=True,
         )
     jax.block_until_ready(params)
     best_dt = float("inf")
-    for _ in range(3):
+    for it in range(3):
         t0 = time.perf_counter()
-        for i in range(STEPS):
-            f, l, m = batches[i % len(batches)]
-            params, opt_state, mstate = trainer._train_step(
-                params, opt_state, mstate, f, l, m
-            )
+        params, opt_state, mstate = trainer._train_epoch(
+            params, opt_state, mstate, data, labels_d,
+            jax.random.PRNGKey(10 + it), n=n, batch_size=BATCH, shuffle=True,
+        )
         jax.block_until_ready(params)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    eps = BATCH * STEPS / best_dt / n_chips
+    eps = n / best_dt / n_chips
     vs = eps / BASELINE_LOCAL if BASELINE_LOCAL else 1.0
     print(
         json.dumps(

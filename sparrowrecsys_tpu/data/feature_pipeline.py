@@ -217,13 +217,16 @@ def build_samples(
     # Positive-history genre frequency over the window.
     ext_v = genre_matrix.shape[1]
     mrow_s = np.where(has_movie[order], id_to_row[mid_s], -1)
+    # int32 throughout: per-column cumulative counts stay below 2^31 for
+    # corpora up to ~2B events; halves memory traffic at 20M scale.
     row_genres = np.where(
         (mrow_s >= 0)[:, None] & (label_s == 1)[:, None],
         genre_matrix[np.maximum(mrow_s, 0)],
-        0,
-    ).astype(np.int64)
+        np.int32(0),
+    )
     gcs = np.concatenate(
-        [np.zeros((1, ext_v), dtype=np.int64), np.cumsum(row_genres, axis=0)]
+        [np.zeros((1, ext_v), dtype=np.int32),
+         np.cumsum(row_genres, axis=0, dtype=np.int32)]
     )
     gwin = gcs[idx] - gcs[ws]                      # [n, V] counts
     # Rank genres by count desc; ties by vocab index (documented divergence).

@@ -152,3 +152,46 @@ class SparrowConfig:
 
 def default_config() -> SparrowConfig:
     return SparrowConfig()
+
+
+def config_to_json(config: SparrowConfig, path: str) -> None:
+    import dataclasses as dc
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dc.asdict(config), f, indent=1)
+
+
+def config_from_json(path: str) -> SparrowConfig:
+    """Load a config file; unknown keys are rejected (typo safety)."""
+    import json
+
+    with open(path) as f:
+        blob = json.load(f)
+
+    def build(cls, data: dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        unknown = set(data) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+        kwargs = {}
+        for k, v in data.items():
+            ft = fields[k].type
+            if isinstance(v, dict) and k in _SECTIONS:
+                kwargs[k] = build(_SECTIONS[k], v)
+            elif isinstance(v, list):
+                kwargs[k] = tuple(v)
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    return build(SparrowConfig, blob)
+
+
+_SECTIONS = {
+    "data": DataConfig,
+    "model": ModelConfig,
+    "mesh": MeshConfig,
+    "train": TrainConfig,
+    "serving": ServingConfig,
+}

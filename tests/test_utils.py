@@ -64,3 +64,33 @@ def test_standardize_uses_train_stats():
     tr, te = standardize(train, test)
     np.testing.assert_allclose(tr.features["releaseYear"], [-1.0, 1.0])
     np.testing.assert_allclose(te.features["releaseYear"], [0.0])  # train stats
+
+
+def test_config_json_round_trip(tmp_path):
+    from sparrowrecsys_tpu.config import (
+        SparrowConfig,
+        TrainConfig,
+        config_from_json,
+        config_to_json,
+    )
+
+    cfg = SparrowConfig(train=TrainConfig(batch_size=4096))
+    p = str(tmp_path / "cfg.json")
+    config_to_json(cfg, p)
+    cfg2 = config_from_json(p)
+    assert cfg2.train.batch_size == 4096
+    assert cfg2.serving.neuralcf_aliases == ("neuralcf", "nerualcf")
+
+
+def test_config_json_rejects_unknown_keys(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from sparrowrecsys_tpu.config import config_from_json
+
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump({"train": {"batch_sizee": 1}}, f)
+    with _pytest.raises(ValueError):
+        config_from_json(p)

@@ -229,7 +229,7 @@ def find_synonyms(
     pos = np.flatnonzero(vocab_ids == movie_id)
     if len(pos) == 0:
         return []
-    scores, idx = cosine_topk(emb[pos], emb, k + 1)
+    scores, idx = cosine_topk(emb[pos], emb, min(k + 1, len(emb)))
     out = []
     for i, s in zip(np.asarray(idx)[0], np.asarray(scores)[0]):
         if vocab_ids[i] != movie_id and len(out) < k:

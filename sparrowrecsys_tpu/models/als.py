@@ -80,8 +80,6 @@ class ALSModel:
     def recommend_for_all_users(self, k: int = 10) -> Dict[int, list]:
         """Top-k unseen-agnostic recommendations (Spark parity: scores over
         ALL items, no watched-filter) — one matmul + top_k on device."""
-        from sparrowrecsys_tpu.ops.topk import cosine_topk  # noqa: F401 (doc)
-
         scores = jnp.dot(
             jnp.asarray(self.user_factors), jnp.asarray(self.item_factors).T,
             preferred_element_type=jnp.float32,

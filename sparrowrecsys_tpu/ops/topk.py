@@ -75,7 +75,6 @@ def sharded_cosine_topk(
         s_top, pos = jax.lax.top_k(s_all, k)
         return s_top, jnp.take_along_axis(i_all, pos, axis=1)
 
-    other_axes = tuple(a for a in mesh.axis_names if a != model_axis)
     return shard_map(
         _local,
         mesh=mesh,

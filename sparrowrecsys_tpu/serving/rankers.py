@@ -14,7 +14,6 @@ Replaces the reference's three scoring paths:
 
 from __future__ import annotations
 
-import functools
 import threading
 from typing import Dict, List, Optional, Sequence
 

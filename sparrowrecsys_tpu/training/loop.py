@@ -215,7 +215,6 @@ class Trainer:
         self._timed_examples = 0
         self._t_steady = None  # set after the first (compiling) step returns
         n = len(train)
-        rng = np.random.default_rng(cfg.seed)
         for epoch in range(epochs):
             mstate = M.init_metrics()
             if resident:

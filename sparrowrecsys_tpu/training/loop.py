@@ -294,7 +294,9 @@ class Trainer:
     ) -> np.ndarray:
         if self._eval_step is None:
             self._build_steps()
-        batch_size = batch_size or self.config.batch_size
+        # Inference batch need not match the training batch — use a large
+        # one so tiny-batch parity runs don't pay per-batch dispatch costs.
+        batch_size = max(batch_size or self.config.batch_size, 4096)
         out = []
         for feats, labels, mask in self._batches(ds, batch_size, False, 0):
             probs = self._eval_step(params, feats)

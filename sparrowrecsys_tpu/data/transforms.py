@@ -40,6 +40,9 @@ class StringIndexer:
 
     labels: List[str]
 
+    def __post_init__(self) -> None:
+        self._lut = {l: i for i, l in enumerate(self.labels)}
+
     @classmethod
     def fit(cls, values: Sequence[str]) -> "StringIndexer":
         uniq, counts = np.unique(np.asarray(values, dtype=object), return_counts=True)
@@ -47,8 +50,7 @@ class StringIndexer:
         return cls([str(u) for u in uniq[order]])
 
     def transform(self, values: Sequence[str]) -> np.ndarray:
-        lut = {l: i for i, l in enumerate(self.labels)}
-        return np.array([lut.get(v, -1) for v in values], np.int64)
+        return np.array([self._lut.get(v, -1) for v in values], np.int64)
 
 
 def multi_hot(genre_lists: Sequence[Sequence[str]]) -> Tuple[np.ndarray, StringIndexer]:
@@ -58,9 +60,14 @@ def multi_hot(genre_lists: Sequence[Sequence[str]]) -> Tuple[np.ndarray, StringI
     indexer = StringIndexer.fit(flat) if flat else StringIndexer([])
     v = len(indexer.labels)
     out = np.zeros((len(genre_lists), v), np.float32)
-    for i, gs in enumerate(genre_lists):
-        idx = indexer.transform(list(gs))
-        out[i, idx[idx >= 0]] = 1.0
+    # One flattened transform + row-id scatter: O(rows + items).
+    if flat:
+        row_ids = np.repeat(
+            np.arange(len(genre_lists)), [len(gs) for gs in genre_lists]
+        )
+        idx = indexer.transform(flat)
+        ok = idx >= 0
+        out[row_ids[ok], idx[ok]] = 1.0
     return out, indexer
 
 

@@ -128,9 +128,6 @@ def _sgns_math(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
     return emb_in, emb_out, loss
 
 
-_sgns_step = jax.jit(_sgns_math, static_argnames=("negatives",))
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("negatives", "batch_size", "total_steps"),

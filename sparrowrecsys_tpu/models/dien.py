@@ -182,6 +182,9 @@ def dien_loss_fn(alpha: float = 0.5, aux_mode: str = "reference"):
         bce = optax.sigmoid_binary_cross_entropy(logits, labels)
         per_ex = bce + sign * alpha * aux
         loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        return loss, (logits, jnp.sum(bce * mask))
+        # Report the FULL optimized objective as the loss metric (Keras
+        # reports the compiled loss incl. add_loss terms) — reporting bare
+        # BCE would mask aux-head divergence.
+        return loss, (logits, jnp.sum(per_ex * mask))
 
     return fn

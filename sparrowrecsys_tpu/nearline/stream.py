@@ -48,17 +48,20 @@ class FileWatchSource:
         if not os.path.exists(self.path):
             return []
         events: List[RatingEvent] = []
-        with open(self.path, "r") as f:
+        # Binary mode: offsets are byte-exact. Text mode's universal-newline
+        # translation makes len(line) undercount CRLF files by one byte per
+        # row, desynchronizing the tail offset into mid-line garbage.
+        with open(self.path, "rb") as f:
             if self._offset is None:  # first poll: skip existing content
                 f.seek(0, os.SEEK_END)
                 self._offset = f.tell()
                 return []
             f.seek(self._offset)
-            for line in f:
-                if not line.endswith("\n"):
+            for raw in f:
+                if not raw.endswith(b"\n"):
                     break  # partial write; re-read next poll
-                self._offset += len(line)
-                parts = line.strip().split(",")
+                self._offset += len(raw)
+                parts = raw.decode("utf-8", "replace").strip().split(",")
                 if len(parts) < 4 or parts[0] == "userId":
                     continue
                 try:

@@ -33,18 +33,20 @@ def embed_lookup(
     table: jnp.ndarray, ids: jnp.ndarray, *, oov_is_negative: bool = False,
     mask_zero: bool = False,
 ) -> jnp.ndarray:
-    """Gather rows; -1 (if oov_is_negative) or 0 (if mask_zero) -> zeros.
+    """Gather rows; -1 (if oov_is_negative), 0 (if mask_zero), or any id
+    outside [0, V) -> zero vector.
 
-    table: [V, D]; ids: int32 [...]; returns [..., D].
+    table: [V, D]; ids: int32 [...]; returns [..., D]. The reference's
+    `categorical_column_with_identity` raises on out-of-range ids; inside
+    jit we can't raise, and clamping would silently alias every oversized
+    id onto the last row — zeroing is the safe in-graph behaviour.
     """
     v = table.shape[0]
     safe = jnp.clip(ids, 0, v - 1)
     out = jnp.take(table, safe, axis=0)
-    if oov_is_negative:
-        out = jnp.where((ids >= 0)[..., None], out, 0.0)
-    if mask_zero:
-        out = jnp.where((ids > 0)[..., None], out, 0.0)
-    return out
+    lo = 1 if mask_zero else 0  # mask_zero additionally zeroes id 0
+    valid = (ids >= lo) & (ids < v)
+    return jnp.where(valid[..., None], out, 0.0)
 
 
 def sharded_lookup(

@@ -26,7 +26,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from sparrowrecsys_tpu.data.movielens import parse_release_year
 from sparrowrecsys_tpu.embedding.artifacts import load_embeddings_csv
 
 TOP_RATING_SIZE = 10  # Movie.java:46
@@ -175,52 +174,47 @@ class DataManager:
         return self
 
     def _load_movies(self, path: str) -> None:
-        import csv
+        # One parser for both planes: the offline loader owns CSV/title
+        # semantics (data.movielens.load_movies).
+        from sparrowrecsys_tpu.data.movielens import load_movies
 
-        with open(path, newline="", encoding="utf-8") as f:
-            reader = csv.reader(f)
-            next(reader)
-            for row in reader:
-                if len(row) < 3:
-                    continue
-                mid = int(row[0])
-                title, year = parse_release_year(row[1])
-                genres = [g for g in row[2].split("|") if g]
-                m = Movie(mid, title, year, genres=genres)
-                self.movies[mid] = m
-                for g in genres:
-                    self.genre_index.setdefault(g, []).append(m)
+        catalog = load_movies(path)
+        for i in range(len(catalog)):
+            mid = int(catalog.movie_ids[i])
+            genres = [g for g in catalog.genres[i] if g]
+            m = Movie(
+                mid, catalog.titles[i], int(catalog.release_years[i]),
+                genres=genres,
+            )
+            self.movies[mid] = m
+            for g in genres:
+                self.genre_index.setdefault(g, []).append(m)
         print(f"Loading movie data completed. {len(self.movies)} movies in total.")
 
     def _load_links(self, path: str) -> None:
-        import csv
+        from sparrowrecsys_tpu.data.movielens import load_links
 
-        with open(path, newline="", encoding="utf-8") as f:
-            reader = csv.reader(f)
-            next(reader)
-            for row in reader:
-                if len(row) >= 3 and int(row[0]) in self.movies:
-                    m = self.movies[int(row[0])]
-                    m.imdb_id, m.tmdb_id = row[1], row[2]
+        for mid, (imdb, tmdb) in load_links(path).items():
+            m = self.movies.get(mid)
+            if m is not None:
+                m.imdb_id, m.tmdb_id = imdb, tmdb
 
     def _load_ratings(self, path: str) -> None:
-        import csv
+        # Native C++ parse when available (memory-bandwidth at 20M rows),
+        # Python fallback — one code path for row semantics either way.
+        from sparrowrecsys_tpu.native import load_ratings_native
 
-        with open(path, newline="", encoding="utf-8") as f:
-            reader = csv.reader(f)
-            next(reader)
-            n = 0
-            for row in reader:
-                uid, mid = int(row[0]), int(row[1])
-                r = Rating(mid, uid, float(row[2]), int(row[3]))
-                movie = self.movies.get(mid)
-                if movie is not None:
-                    movie.add_rating(r)
-                if uid not in self.users:
-                    self.users[uid] = User(uid)
-                self.users[uid].add_rating(r)
-                n += 1
-        print(f"Loading rating data completed. {n} ratings in total.")
+        ratings = load_ratings_native(path)
+        for i in range(len(ratings)):
+            uid, mid = int(ratings.user_ids[i]), int(ratings.movie_ids[i])
+            r = Rating(mid, uid, float(ratings.ratings[i]), int(ratings.timestamps[i]))
+            movie = self.movies.get(mid)
+            if movie is not None:
+                movie.add_rating(r)
+            if uid not in self.users:
+                self.users[uid] = User(uid)
+            self.users[uid].add_rating(r)
+        print(f"Loading rating data completed. {len(ratings)} ratings in total.")
 
     def _load_movie_emb(self, path: str) -> None:
         embs = load_embeddings_csv(path)

@@ -77,7 +77,13 @@ class FeatureStore:
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with self._lock:
-            blob = {"hashes": self._hashes, "strings": self._strings}
+            blob = {
+                "hashes": self._hashes,
+                "strings": self._strings,
+                # Absolute expiry epochs travel with the handoff so TTLs
+                # survive the offline->online hop.
+                "expiry": self._expiry,
+            }
         with open(path, "w") as f:
             json.dump(blob, f)
 
@@ -88,6 +94,7 @@ class FeatureStore:
             blob = json.load(f)
         store._hashes = {k: dict(v) for k, v in blob.get("hashes", {}).items()}
         store._strings = dict(blob.get("strings", {}))
+        store._expiry = {k: float(v) for k, v in blob.get("expiry", {}).items()}
         return store
 
 

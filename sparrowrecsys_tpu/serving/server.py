@@ -109,8 +109,11 @@ class RecSysServer:
     def _static(self, path: str) -> tuple:
         if path in ("", "/"):
             path = "/index.html"
-        full = os.path.normpath(os.path.join(self.webroot, path.lstrip("/")))
-        if not full.startswith(os.path.abspath(self.webroot)) or not os.path.isfile(full):
+        root = os.path.abspath(self.webroot)
+        full = os.path.normpath(os.path.join(root, path.lstrip("/")))
+        # Containment must be directory-boundary-aware: a bare startswith
+        # would accept /webroot_secret for webroot=/webroot (traversal).
+        if os.path.commonpath([root, full]) != root or not os.path.isfile(full):
             return 404, "text/html", b"Not Found"
         ext = os.path.splitext(full)[1]
         with open(full, "rb") as f:

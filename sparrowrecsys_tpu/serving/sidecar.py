@@ -42,21 +42,22 @@ class ScoringSidecar:
                 instances = body.get("instances", [])
                 preds = []
                 if instances:
+                    import numpy as np
+
                     user_ids = [int(i.get("userId", 0)) for i in instances]
                     movie_ids = [int(i.get("movieId", 0)) for i in instances]
-                    # The reference batches one user x N movies; support the
-                    # general case by grouping identical users.
-                    if len(set(user_ids)) == 1:
-                        scores = sidecar.scorer.score(user_ids[0], movie_ids)
-                    else:
-                        import numpy as np
-
-                        scores = np.array(
-                            [
-                                sidecar.scorer.score(u, [m])[0]
-                                for u, m in zip(user_ids, movie_ids)
-                            ]
-                        )
+                    # The reference batches one user x N movies; the general
+                    # case groups by user — one batched dispatch per unique
+                    # user instead of one per instance (dispatch costs
+                    # dominate on remote-attached devices).
+                    scores = np.empty(len(instances), np.float32)
+                    by_user = {}
+                    for pos, (u, m) in enumerate(zip(user_ids, movie_ids)):
+                        by_user.setdefault(u, []).append((pos, m))
+                    for u, items in by_user.items():
+                        s = sidecar.scorer.score(u, [m for _, m in items])
+                        for (pos, _), v in zip(items, s):
+                            scores[pos] = v
                     preds = [[float(s)] for s in scores]
                 out = json.dumps({"predictions": preds}).encode()
                 self.send_response(200)

@@ -183,8 +183,8 @@ class Trainer:
         verbose: bool = True,
     ) -> TrainResult:
         cfg = self.config
-        epochs = epochs or cfg.epochs
-        batch_size = batch_size or cfg.batch_size
+        epochs = cfg.epochs if epochs is None else epochs
+        batch_size = cfg.batch_size if batch_size is None else batch_size
         if self._train_step is None:
             self._build_steps()
         if params is None:
@@ -294,9 +294,11 @@ class Trainer:
     ) -> np.ndarray:
         if self._eval_step is None:
             self._build_steps()
-        # Inference batch need not match the training batch — use a large
-        # one so tiny-batch parity runs don't pay per-batch dispatch costs.
-        batch_size = max(batch_size or self.config.batch_size, 4096)
+        # Inference batch need not match the training batch — default to a
+        # large one so tiny-batch parity runs don't pay per-batch dispatch
+        # costs. An explicit batch_size is respected (memory control).
+        if batch_size is None:
+            batch_size = max(self.config.batch_size, 4096)
         out = []
         for feats, labels, mask in self._batches(ds, batch_size, False, 0):
             probs = self._eval_step(params, feats)

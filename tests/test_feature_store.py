@@ -67,3 +67,15 @@ def test_catalog_attachment(tiny_catalog, tiny_ratings, tmp_path, capsys):
     dm.load_feature_store(store)
     assert dm.movies[1].movie_features is not None
     assert dm.users[1].user_features is not None
+
+
+def test_ttl_survives_persistence(tmp_path):
+    """Review regression: expiry epochs travel with the handoff file."""
+    s = FeatureStore()
+    s.hset("mf:9", {"x": "1"}, ttl=0.05)
+    path = str(tmp_path / "store.json")
+    s.save(path)
+    loaded = FeatureStore.load(path)
+    assert loaded.hgetall("mf:9") == {"x": "1"}
+    time.sleep(0.1)
+    assert loaded.hgetall("mf:9") is None

@@ -65,3 +65,19 @@ def test_attach_to_store_updates_user_features(tmp_path):
         f.write("7,42,5.0,999\n")
     stream.run_for(0.25)
     assert dm.users[7].user_features["latestMovieId"] == "42"
+
+
+def test_crlf_file_offsets_stay_exact(tmp_path):
+    """Review regression: CRLF line endings must not desync the tail."""
+    path = tmp_path / "ratings.csv"
+    path.write_bytes(b"userId,movieId,rating,timestamp\r\n")
+    src = FileWatchSource(str(path), interval=0.01)
+    assert src.poll() == []
+    with open(path, "ab") as f:
+        for i in range(1, 21):
+            f.write(f"{i},{i*10},4.0,{i*100}\r\n".encode())
+    events = src.poll()
+    assert [(e.user_id, e.movie_id) for e in events] == [
+        (i, i * 10) for i in range(1, 21)
+    ]
+    assert src.poll() == []  # no phantom re-reads

@@ -162,3 +162,13 @@ class TestAUGRU:
         h = gru(params, x)
         assert h.shape == (4, 5, d)
         np.testing.assert_allclose(np.asarray(h), np.asarray(gru(params, x)))
+
+
+def test_embed_lookup_out_of_range_zeroes():
+    """Review regression: oversized ids must not alias to the last row."""
+    import jax.numpy as jnp
+
+    table = jnp.arange(8, dtype=jnp.float32).reshape(4, 2) + 1.0
+    out = embed_lookup(table, jnp.array([3, 4, 1000]))
+    assert np.allclose(out[0], table[3])
+    assert np.allclose(out[1], 0.0) and np.allclose(out[2], 0.0)

@@ -258,3 +258,59 @@ class TestSidecar:
             np.testing.assert_allclose(scores, direct, rtol=1e-5)
         finally:
             sidecar.stop()
+
+
+class TestSecurityRegressions:
+    """Regressions for the round-1 code-review findings."""
+
+    def test_static_no_path_traversal(self, tmp_path, dm):
+        import urllib.error
+
+        from sparrowrecsys_tpu.config import ServingConfig
+        from sparrowrecsys_tpu.serving.server import RecSysServer
+
+        webroot = tmp_path / "webroot"
+        webroot.mkdir()
+        (webroot / "ok.html").write_text("fine")
+        secret = tmp_path / "webroot_secret"
+        secret.mkdir()
+        (secret / "key.txt").write_text("SECRET")
+        os.environ["PORT"] = "0"
+        s = RecSysServer(dm, ServingConfig(port=0), webroot=str(webroot))
+        s.start()
+        try:
+            import http.client
+
+            conn = http.client.HTTPConnection("localhost", s.port, timeout=10)
+            # Raw request path that normpath-resolves outside the webroot.
+            conn.request("GET", "/../webroot_secret/key.txt")
+            resp = conn.getresponse()
+            body = resp.read()
+            assert b"SECRET" not in body
+            conn.close()
+            with urllib.request.urlopen(
+                f"http://localhost:{s.port}/ok.html", timeout=10
+            ) as r:
+                assert r.read() == b"fine"
+        finally:
+            s.stop()
+            os.environ.pop("PORT", None)
+
+    def test_relative_webroot_serves(self, dm, tmp_path, monkeypatch):
+        from sparrowrecsys_tpu.config import ServingConfig
+        from sparrowrecsys_tpu.serving.server import RecSysServer
+
+        (tmp_path / "wr").mkdir()
+        (tmp_path / "wr" / "index.html").write_text("rel ok")
+        monkeypatch.chdir(tmp_path)
+        os.environ["PORT"] = "0"
+        s = RecSysServer(dm, ServingConfig(port=0), webroot="wr")
+        s.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://localhost:{s.port}/index.html", timeout=10
+            ) as r:
+                assert r.read() == b"rel ok"
+        finally:
+            s.stop()
+            os.environ.pop("PORT", None)

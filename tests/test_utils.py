@@ -94,3 +94,16 @@ def test_config_json_rejects_unknown_keys(tmp_path):
         json.dump({"train": {"batch_sizee": 1}}, f)
     with _pytest.raises(ValueError):
         config_from_json(p)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from sparrowrecsys_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "trace")):
+        x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    assert float(x[0, 0]) == 64.0
+    import os
+
+    assert any(os.scandir(str(tmp_path / "trace")))  # something was written

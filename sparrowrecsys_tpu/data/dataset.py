@@ -157,9 +157,18 @@ def standardize(
 
 
 def encode_samples(table: SampleTable) -> EncodedDataset:
-    """SampleTable -> EncodedDataset (drops rating/timestamp bookkeeping)."""
+    """SampleTable -> EncodedDataset (drops rating/timestamp bookkeeping).
+
+    Extended history columns (userRatedMovie6+ from
+    `build_samples(history_length=N)`) pass through for long-history
+    DIN/DIEN training."""
     feats: Dict[str, np.ndarray] = {}
-    for c in INT_FEATURES + GENRE_FEATURES:
+    int_cols = list(INT_FEATURES) + sorted(
+        (c for c in table.columns if c.startswith("userRatedMovie")
+         and c not in INT_FEATURES),
+        key=lambda c: int(c[len("userRatedMovie"):]),
+    )
+    for c in int_cols + GENRE_FEATURES:
         feats[c] = table[c].astype(np.int32)
     for c in FLOAT_FEATURES:
         feats[c] = table[c].astype(np.float32)

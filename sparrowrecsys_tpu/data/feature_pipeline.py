@@ -94,6 +94,7 @@ def build_samples(
     catalog: MovieCatalog,
     window: int = USER_FEATURE_WINDOW,
     min_user_rating_count: int = 2,
+    history_length: int = 5,
 ) -> SampleTable:
     """Run the full labeling + movie-feature + user-feature pipeline.
 
@@ -101,6 +102,12 @@ def build_samples(
     vocab indices, history movieIds with 0 = missing), in the input row
     order, filtered to userRatingCount >= min_user_rating_count
     (`FeatureEngForRecModel.scala:136` filters > 1).
+
+    history_length: number of userRatedMovie columns. 5 is the canonical
+    CSV contract (`userRatedMovie1..5`); larger values extend the behaviour
+    sequence for long-history DIN/DIEN training (SURVEY.md §5 — the
+    attention/AUGRU ops accept any T), kept in-memory only (`to_csv`
+    writes the canonical 27 columns).
     """
     n = len(ratings)
     if n == 0:
@@ -108,9 +115,8 @@ def build_samples(
         empty_f = np.empty(0, dtype=np.float32)
         cols = {}
         for c in ("movieId", "userId", "label", "releaseYear", "movieGenre1",
-                  "movieGenre2", "movieGenre3", "userRatedMovie1",
-                  "userRatedMovie2", "userRatedMovie3", "userRatedMovie4",
-                  "userRatedMovie5", "userAvgReleaseYear"):
+                  "movieGenre2", "movieGenre3", "userAvgReleaseYear",
+                  *(f"userRatedMovie{k + 1}" for k in range(history_length))):
             cols[c] = empty_i
         for c in ("rating", "movieAvgRating", "movieRatingStddev",
                   "userReleaseYearStddev", "userAvgRating", "userRatingStddev"):
@@ -203,9 +209,9 @@ def build_samples(
     prev_pos = np.full(n, -1, dtype=np.int64)     # most recent positive < i
     prev_pos[1:] = acc[:-1]
 
-    hist = np.full((5, n), -1, dtype=np.int64)
+    hist = np.full((history_length, n), -1, dtype=np.int64)
     cur = prev_pos.copy()
-    for k in range(5):
+    for k in range(history_length):
         # Validity: same segment and inside window. A cross-segment
         # candidate implies no in-segment positive exists (indices grow).
         valid = (cur >= seg_start) & (cur >= idx - window) & (cur >= 0)
@@ -251,11 +257,6 @@ def build_samples(
         "movieRatingCount": movie_rating_count,
         "movieAvgRating": movie_avg_rating.astype(np.float32),
         "movieRatingStddev": movie_rating_std.astype(np.float32),
-        "userRatedMovie1": back(hist_movies[0]).astype(np.int32),
-        "userRatedMovie2": back(hist_movies[1]).astype(np.int32),
-        "userRatedMovie3": back(hist_movies[2]).astype(np.int32),
-        "userRatedMovie4": back(hist_movies[3]).astype(np.int32),
-        "userRatedMovie5": back(hist_movies[4]).astype(np.int32),
         "userRatingCount": back(user_rating_count),
         "userAvgReleaseYear": back(user_avg_year_i).astype(np.int32),
         "userReleaseYearStddev": back(user_year_std).astype(np.float32),
@@ -267,6 +268,8 @@ def build_samples(
         "userGenre4": back(user_genres[:, 3]),
         "userGenre5": back(user_genres[:, 4]),
     }
+    for k in range(history_length):
+        cols[f"userRatedMovie{k + 1}"] = back(hist_movies[k]).astype(np.int32)
     keep = cols["userRatingCount"] >= min_user_rating_count
     return SampleTable({k: v[keep] for k, v in cols.items()})
 

@@ -20,7 +20,7 @@ attention weights are masked on zero embeddings).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -43,7 +43,11 @@ class DIN(nn.Module):
     user_buckets: int = USER_VOCAB_SIZE
     attention_hidden: int = 32
     compute_dtype: str = "float32"
-    use_pallas: bool = False
+    #: behaviour-sequence length; 5 = reference parity (`DIN.py:31`),
+    #: larger values consume build_samples(history_length=N) columns and
+    #: auto-select the fused Pallas attention at T >= 32.
+    recent_movies: int = 5
+    use_pallas: Optional[bool] = None  # None = measured auto-dispatch
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -51,7 +55,9 @@ class DIN(nn.Module):
             self.movie_buckets, self.dim, mask_zero=True, name="emb_movie_shared"
         )
         cand = movie_emb(features["movieId"])          # [B, D]
-        hist = movie_emb(history_stack(features))      # [B, 5, D]
+        hist = movie_emb(
+            history_stack(features, self.recent_movies)
+        )                                              # [B, T, D]
 
         w1 = self.param(
             "att_w1", nn.initializers.lecun_normal(), (4 * self.dim, self.attention_hidden)

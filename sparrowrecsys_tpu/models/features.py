@@ -97,9 +97,16 @@ def numeric_stack(
     return jnp.stack([features[c].astype(jnp.float32) for c in cols], axis=-1)
 
 
-def history_stack(features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """Stack userRatedMovie1..5 -> int32 [B, 5] (0 = pad)."""
-    return jnp.stack([features[c] for c in HISTORY_COLS], axis=-1)
+def history_stack(
+    features: Dict[str, jnp.ndarray], length: int = len(HISTORY_COLS)
+) -> jnp.ndarray:
+    """Stack userRatedMovie1..length -> int32 [B, T] (0 = pad).
+
+    length > 5 reads the extended history columns emitted by
+    `build_samples(history_length=N)` — the DIN/DIEN long-history knob."""
+    return jnp.stack(
+        [features[f"userRatedMovie{k + 1}"] for k in range(length)], axis=-1
+    )
 
 
 def compute_dtype(name: str):

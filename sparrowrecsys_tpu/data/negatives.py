@@ -21,7 +21,6 @@ import numpy as np
 from sparrowrecsys_tpu.config import MOVIE_VOCAB_SIZE
 from sparrowrecsys_tpu.data.dataset import EncodedDataset
 
-_SRC_COLS = ("userRatedMovie2", "userRatedMovie3", "userRatedMovie4", "userRatedMovie5")
 NEG_COLS = (
     "negativeUserRatedMovie2", "negativeUserRatedMovie3",
     "negativeUserRatedMovie4", "negativeUserRatedMovie5",
@@ -29,12 +28,19 @@ NEG_COLS = (
 
 
 def add_dien_negatives(
-    ds: EncodedDataset, seed: int, vocab: int = MOVIE_VOCAB_SIZE
+    ds: EncodedDataset,
+    seed: int,
+    vocab: int = MOVIE_VOCAB_SIZE,
+    recent_movies: int = 5,
 ) -> EncodedDataset:
     rng = np.random.default_rng(seed)
     n = len(ds)
     feats = dict(ds.features)
-    for src, dst in zip(_SRC_COLS, NEG_COLS):
+    src_cols = tuple(f"userRatedMovie{k}" for k in range(2, recent_movies + 1))
+    neg_cols = tuple(
+        f"negativeUserRatedMovie{k}" for k in range(2, recent_movies + 1)
+    )
+    for src, dst in zip(src_cols, neg_cols):
         pos = feats[src]
         neg = rng.integers(0, vocab, size=n)
         clash = neg == pos

@@ -48,10 +48,16 @@ from sparrowrecsys_tpu.ops.augru import (
     gru,
 )
 
-NEGATIVE_COLS = (
-    "negativeUserRatedMovie2", "negativeUserRatedMovie3",
-    "negativeUserRatedMovie4", "negativeUserRatedMovie5",
-)
+def negative_cols(recent_movies: int = 5):
+    """negativeUserRatedMovie2..T — one negative per non-initial history
+    step (the reference uses columns 2..5 for T=5, DIEN.py:35-38)."""
+    return tuple(
+        f"negativeUserRatedMovie{k}" for k in range(2, recent_movies + 1)
+    )
+
+
+#: reference-parity constant (T=5)
+NEGATIVE_COLS = negative_cols(5)
 
 
 class DIEN(nn.Module):
@@ -60,6 +66,9 @@ class DIEN(nn.Module):
     user_buckets: int = USER_VOCAB_SIZE
     aux_mode: str = "reference"  # or "paper"
     alpha: float = 0.5
+    #: behaviour-sequence length (5 = reference parity; the GRU/AUGRU are
+    #: lax.scan, so any T compiles without unrolling)
+    recent_movies: int = 5
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -93,11 +102,12 @@ class DIEN(nn.Module):
         movie_emb = IdEmbed(
             self.movie_buckets, d, mask_zero=True, name="emb_movie_shared"
         )
+        t = self.recent_movies
         cand = movie_emb(features["movieId"])                       # [B, D]
-        hist = movie_emb(history_stack(features))                   # [B, 5, D]
+        hist = movie_emb(history_stack(features, t))                # [B, T, D]
         neg = movie_emb(
-            jnp.stack([features[c] for c in NEGATIVE_COLS], axis=-1)
-        )                                                            # [B, 4, D]
+            jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
+        )                                                            # [B, T-1, D]
 
         hidden = gru(self._gru_params("gru", d, d), hist)           # [B, 5, D]
 
@@ -146,14 +156,16 @@ class DIEN(nn.Module):
         x = PReLU(name="prelu2")(nn.Dense(64, name="fc2")(x))
         logits = nn.Dense(1, name="out")(x)[..., 0]
 
-        # Auxiliary head (DIEN.py:275-308): hidden[:, 0:4] vs next-step
-        # positive hist[:, 1:5] and negative neg[:, 0:4].
-        pos_in = jnp.concatenate([hidden[:, 0:4, :], hist[:, 1:5, :]], axis=-1)
+        # Auxiliary head (DIEN.py:275-308): hidden[:, :T-1] vs next-step
+        # positive hist[:, 1:T] and negative neg[:, :T-1].
+        pos_in = jnp.concatenate(
+            [hidden[:, : t - 1, :], hist[:, 1:t, :]], axis=-1
+        )
         pos_p = nn.sigmoid(nn.Dense(32, name="aux_pos32")(pos_in))
-        pos_p = nn.sigmoid(nn.Dense(1, name="aux_pos1")(pos_p))[..., 0]  # [B, 4]
-        neg_in = jnp.concatenate([hidden[:, 0:4, :], neg], axis=-1)
+        pos_p = nn.sigmoid(nn.Dense(1, name="aux_pos1")(pos_p))[..., 0]
+        neg_in = jnp.concatenate([hidden[:, : t - 1, :], neg], axis=-1)
         neg_p = nn.sigmoid(nn.Dense(32, name="aux_neg32")(neg_in))
-        neg_p = nn.sigmoid(nn.Dense(1, name="aux_neg1")(neg_p))[..., 0]  # [B, 4]
+        neg_p = nn.sigmoid(nn.Dense(1, name="aux_neg1")(neg_p))[..., 0]
 
         if self.aux_mode == "paper":
             eps = 1e-7

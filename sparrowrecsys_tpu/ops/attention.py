@@ -103,6 +103,26 @@ def din_attention_pallas(
     )(hist, cand, w1, b1, alpha, w2, b2)
 
 
+@jax.custom_vjp
+def _din_attention_fused(hist, cand, w1, b1, alpha, w2, b2):
+    return din_attention_pallas(hist, cand, w1, b1, alpha, w2, b2)
+
+
+def _din_fused_fwd(hist, cand, w1, b1, alpha, w2, b2):
+    # Residuals = raw inputs: the backward recomputes the (cheap, fused)
+    # forward instead of storing activations — rematerialization.
+    out = din_attention_pallas(hist, cand, w1, b1, alpha, w2, b2)
+    return out, (hist, cand, w1, b1, alpha, w2, b2)
+
+
+def _din_fused_bwd(res, g):
+    _, vjp = jax.vjp(_unit, *res)
+    return vjp(g)
+
+
+_din_attention_fused.defvjp(_din_fused_fwd, _din_fused_bwd)
+
+
 def din_attention(
     hist, cand, w1, b1, alpha, w2, b2, use_pallas: Optional[bool] = None
 ):
@@ -110,10 +130,12 @@ def din_attention(
 
     Measured on TPU v5e (tools/kernel_bench.py -> KERNELS.md): the fused
     kernel wins for histories T >= 32 (22.9 vs 28.1 us at T=64, 29.7 vs
-    35.4 us at T=256); XLA's fusion wins at the MovieLens T=5.
+    35.4 us at T=256); XLA's fusion wins at the MovieLens T=5. The fused
+    path is differentiable via a custom VJP whose backward autodiffs the
+    XLA formulation (recompute-in-backward).
     """
     if use_pallas is None:
         use_pallas = hist.shape[-2] >= 32
     if use_pallas and jax.default_backend() == "tpu":
-        return din_attention_pallas(hist, cand, w1, b1, alpha, w2, b2)
+        return _din_attention_fused(hist, cand, w1, b1, alpha, w2, b2)
     return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)

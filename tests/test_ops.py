@@ -172,3 +172,33 @@ def test_embed_lookup_out_of_range_zeroes():
     out = embed_lookup(table, jnp.array([3, 4, 1000]))
     assert np.allclose(out[0], table[3])
     assert np.allclose(out[1], 0.0) and np.allclose(out[2], 0.0)
+
+
+def test_din_fused_custom_vjp_matches_xla_grads():
+    """The pallas-forward custom-VJP path must produce the same gradients
+    as the XLA formulation (checked in interpret mode off-TPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparrowrecsys_tpu.ops.attention import (
+        _din_attention_fused,
+        din_attention_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, d, h = 8, 8, 4, 8
+    args = [
+        jnp.asarray(rng.normal(size=s).astype(np.float32))
+        for s in [(b, t, d), (b, d), (4 * d, h), (h,), (h,), (h, 1), (1,)]
+    ]
+
+    def loss_fused(*a):
+        return jnp.sum(_din_attention_fused(*a) ** 2)
+
+    def loss_xla(*a):
+        return jnp.sum(din_attention_xla(*a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)

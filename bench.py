@@ -22,11 +22,13 @@ from __graft_entry__ import _example_features
 from sparrowrecsys_tpu.config import TrainConfig
 from sparrowrecsys_tpu.data.dataset import EncodedDataset
 from sparrowrecsys_tpu.models import build_model
-from sparrowrecsys_tpu.training.loop import Trainer
+from sparrowrecsys_tpu.training.loop import Trainer, hard_sync
 
-#: First recorded TPU v5e single-chip number (round 1). Update only with a
-#: note in BASELINE.md.
-BASELINE_LOCAL = 34_440_610.5  # TPU v5e 1-chip, round-1 first recorded run
+#: First HONESTLY-recorded TPU v5e single-chip number (round 1, forced
+#: device->host sync — jax.block_until_ready returns early on this
+#: backend and earlier recordings measured dispatch, not compute).
+#: Update only with a note in BASELINE.md.
+BASELINE_LOCAL = 4_161_731.1  # TPU v5e 1-chip, scan-epoch schedule
 
 BATCH = 8192
 STEPS = 60
@@ -45,14 +47,14 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     items = jnp.asarray(rng.normal(size=(n_items, 64)).astype(np.float32))
     queries = jnp.asarray(rng.normal(size=(n_queries, 64)).astype(np.float32))
     s, i = cosine_topk(queries, items, k)  # compile
-    jax.block_until_ready((s, i))
+    hard_sync(s)
     iters = 50
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             s, i = cosine_topk(queries, items, k)
-        jax.block_until_ready((s, i))
+        hard_sync(s)
         best_dt = min(best_dt, time.perf_counter() - t0)
     return {
         "metric": "retrieval_topk_queries_per_sec",
@@ -173,7 +175,7 @@ def main() -> None:
             params, opt_state, mstate, data, labels_d,
             jax.random.PRNGKey(it), n=n, batch_size=BATCH, shuffle=True,
         )
-    jax.block_until_ready(params)
+    hard_sync(params)  # block_until_ready returns early on this backend
     best_dt = float("inf")
     for it in range(3):
         t0 = time.perf_counter()
@@ -181,7 +183,7 @@ def main() -> None:
             params, opt_state, mstate, data, labels_d,
             jax.random.PRNGKey(10 + it), n=n, batch_size=BATCH, shuffle=True,
         )
-        jax.block_until_ready(params)
+        hard_sync(params)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     eps = n / best_dt / n_chips

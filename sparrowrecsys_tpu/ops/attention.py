@@ -128,14 +128,16 @@ def din_attention(
 ):
     """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D].
 
-    Measured on TPU v5e (tools/kernel_bench.py -> KERNELS.md): the fused
-    kernel wins for histories T >= 32 (22.9 vs 28.1 us at T=64, 29.7 vs
-    35.4 us at T=256); XLA's fusion wins at the MovieLens T=5. The fused
-    path is differentiable via a custom VJP whose backward autodiffs the
-    XLA formulation (recompute-in-backward).
+    Measured on TPU v5e with forced-sync timing (tools/kernel_bench.py ->
+    KERNELS.md): XLA's fusion wins or ties at every tested shape (751 vs
+    1123 us at T=64; 2775 vs 2728 us at T=256), so XLA is the default and
+    the fused kernel is opt-in (`use_pallas=True`) — it remains the
+    template for shapes where explicit blocking pays. The fused path is
+    differentiable via a custom VJP whose backward autodiffs the XLA
+    formulation (recompute-in-backward).
     """
     if use_pallas is None:
-        use_pallas = hist.shape[-2] >= 32
+        use_pallas = False
     if use_pallas and jax.default_backend() == "tpu":
         return _din_attention_fused(hist, cand, w1, b1, alpha, w2, b2)
     return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)

@@ -58,10 +58,10 @@ def fm_cross_pallas(fields: jnp.ndarray, block_b: int = 256) -> jnp.ndarray:
 def fm_cross(fields: jnp.ndarray, use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """[B, F, D] -> [B, D]. Auto-selects implementation.
 
-    Measured on TPU v5e (tools/kernel_bench.py -> KERNELS.md): XLA's fusion
-    wins at training shapes (it folds the op into adjacent matmuls); the
-    Pallas tiling wins for very large serving batches (29.8 vs 41.8 us at
-    B=32768, F=16, D=128).
+    Measured on TPU v5e with forced-sync timing (tools/kernel_bench.py ->
+    KERNELS.md): XLA's fusion wins at training shapes; the Pallas tiling
+    wins for very large serving batches (878 vs 1241 us at B=32768, F=16,
+    D=128).
     """
     if use_pallas is None:
         b = fields.shape[0]

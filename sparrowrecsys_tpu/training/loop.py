@@ -42,6 +42,19 @@ class TrainResult:
     examples_per_sec: float = 0.0
 
 
+def hard_sync(tree) -> None:
+    """Force completion of the computation producing `tree`.
+
+    `jax.block_until_ready` returns early on some PJRT backends (observed
+    on the remote-attached axon TPU client: it does not wait for enqueued
+    executions). Reading output bytes device->host cannot lie — a
+    one-element read of an output buffer completes only after the
+    producing executable (and its dependency chain) has finished.
+    """
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
 def _default_loss(apply_fn, params, feats, labels, mask):
     logits = apply_fn({"params": params}, feats)
     bce = optax.sigmoid_binary_cross_entropy(logits, labels)
@@ -226,7 +239,7 @@ class Trainer:
                 )
                 total_examples += n
                 if self._t_steady is None:
-                    jax.block_until_ready(params)  # first epoch pays compile
+                    hard_sync(params)  # first epoch pays compile
                     self._t_steady = time.perf_counter()
                 else:
                     self._timed_examples += n
@@ -250,6 +263,7 @@ class Trainer:
                 )
                 total_examples += batch_size
                 if self._t_steady is None:
+                    hard_sync(params)  # first step pays compile
                     self._t_steady = time.perf_counter()
                 else:
                     self._timed_examples += batch_size
@@ -261,7 +275,7 @@ class Trainer:
                     f"acc={em['accuracy']:.4f} roc_auc={em['roc_auc']:.4f} "
                     f"pr_auc={em['pr_auc']:.4f}"
                 )
-        jax.block_until_ready(params)
+        hard_sync(params)
         end = time.perf_counter()
         # Convert deferred per-epoch device metrics to floats (post-timing).
         history = [{k: float(v) for k, v in em.items()} for em in history]

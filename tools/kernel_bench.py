@@ -20,14 +20,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # block_until_ready returns early on the remote axon backend; a
+    # one-element device->host read cannot.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, iters=50, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -27,7 +27,7 @@ Documented divergences from the reference (AUC-invisible):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -14,8 +14,6 @@ excludes the id in the same column.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 
 from sparrowrecsys_tpu.config import MOVIE_VOCAB_SIZE

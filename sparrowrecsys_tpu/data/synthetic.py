@@ -12,7 +12,7 @@ is mechanism demonstration; synthetic vocabs make it load-bearing).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

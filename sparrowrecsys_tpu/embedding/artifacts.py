@@ -8,7 +8,7 @@ Format (`Embedding.scala:145-151`): one line per item, `id:f f f ...`
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Tuple
+from typing import Dict, Iterable
 
 import numpy as np
 

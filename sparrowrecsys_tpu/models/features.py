@@ -22,12 +22,7 @@ from typing import Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from sparrowrecsys_tpu.config import (
-    EMBEDDING_DIM,
-    GENRE_VOCAB,
-    MOVIE_VOCAB_SIZE,
-    USER_VOCAB_SIZE,
-)
+from sparrowrecsys_tpu.config import EMBEDDING_DIM, GENRE_VOCAB
 from sparrowrecsys_tpu.ops.embedding import embed_lookup, uniform_embed_init
 
 GENRE_COLS = (

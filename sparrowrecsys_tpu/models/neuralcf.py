@@ -14,7 +14,7 @@ Inputs: ids only (`NeuralCF.py:38-41`).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

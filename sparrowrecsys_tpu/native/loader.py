@@ -15,7 +15,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

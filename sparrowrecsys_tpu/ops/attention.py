@@ -16,7 +16,7 @@ HBM-bound speed-of-light.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,6 @@ vectors, matching TF's embedding_column-with-default and Keras mask_zero.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -18,7 +18,7 @@ the explicit shard_map/psum formulation where manual control wins.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

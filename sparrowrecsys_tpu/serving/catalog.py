@@ -21,7 +21,6 @@ JSON field shapes (incl. the `{"rating": {...}}` wrapper from
 from __future__ import annotations
 
 import dataclasses
-import heapq
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -15,11 +15,11 @@ Replaces the reference's three scoring paths:
 from __future__ import annotations
 
 import threading
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from sparrowrecsys_tpu.serving.catalog import DataManager, Movie, User
+from sparrowrecsys_tpu.serving.catalog import DataManager, Movie
 
 #: Device work from HTTP worker threads is serialized: the jitted scoring
 #: calls are microseconds, but the PJRT client (especially the remote-

@@ -19,9 +19,8 @@ TPU-native loop:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

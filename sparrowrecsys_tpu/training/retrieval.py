@@ -15,8 +15,6 @@ live on device and a whole epoch runs as one `lax.scan` dispatch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -92,7 +92,12 @@ class SimilarMovieProcess:
 
 
 class RecForYouProcess:
-    def __init__(self, dm: DataManager, scorer: Optional[ModelScorer] = None):
+    def __init__(
+        self,
+        dm: DataManager,
+        scorer: Optional[ModelScorer] = None,
+        micro_batch: bool = False,
+    ):
         self.dm = dm
         self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
         # The top-800 candidate set only changes when the catalog does
@@ -100,6 +105,25 @@ class RecForYouProcess:
         # re-sorts the whole catalog per request (RecForYouProcess.java:37).
         self._candidates: Optional[List[Movie]] = None
         self._candidate_matrix = None  # aligned [800, D] embedding rows
+        # Optional micro-batching: concurrent requests' user embeddings are
+        # stacked into ONE [B, 800] cosine dispatch (serving/batcher.py).
+        self._batcher = None
+        if micro_batch:
+            from sparrowrecsys_tpu.serving.batcher import MicroBatcher
+
+            def _score_batch(user_embs: np.ndarray) -> np.ndarray:
+                import jax.numpy as jnp
+
+                from sparrowrecsys_tpu.ops.topk import cosine_scores
+                from sparrowrecsys_tpu.serving.rankers import _DEVICE_LOCK
+
+                _, mat = self._candidate_set()
+                with _DEVICE_LOCK:
+                    return np.array(
+                        cosine_scores(jnp.asarray(user_embs), jnp.asarray(mat))
+                    )
+
+            self._batcher = MicroBatcher(_score_batch, max_batch=64, max_wait_ms=2.0)
 
     def _candidate_set(self):
         import numpy as np
@@ -151,7 +175,10 @@ class RecForYouProcess:
             return list(candidates)
         cached, mat = self._candidate_set()
         if candidates is cached and mat.size:
-            scores = cosine_scores_batch(np.asarray(emb, np.float32), mat)
+            if self._batcher is not None:
+                scores = self._batcher.submit(np.asarray(emb, np.float32))
+            else:
+                scores = cosine_scores_batch(np.asarray(emb, np.float32), mat)
             order = np.argsort(-scores, kind="stable")
             return [candidates[i] for i in order]
         return rank_by_embedding(emb, candidates, self.dm)

@@ -314,3 +314,28 @@ class TestSecurityRegressions:
         finally:
             s.stop()
             os.environ.pop("PORT", None)
+
+
+def test_recforyou_micro_batching(dm):
+    """Concurrent /getrecforyou rankings through the micro-batcher match
+    the unbatched path."""
+    import threading
+
+    plain = RecForYouProcess(dm)
+    batched = RecForYouProcess(dm, micro_batch=True)
+    expected = {u: [m.movie_id for m in plain.get_rec_list(u, 5, "emb")]
+                for u in (1, 2, 3)}
+    results = {}
+
+    def worker(u):
+        results[u] = [m.movie_id for m in batched.get_rec_list(u, 5, "emb")]
+
+    threads = [
+        threading.Thread(target=worker, args=(u,))
+        for u in (1, 2, 3, 1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == expected

@@ -28,7 +28,7 @@ from sparrowrecsys_tpu.training.loop import Trainer, hard_sync
 #: device->host sync — jax.block_until_ready returns early on this
 #: backend and earlier recordings measured dispatch, not compute).
 #: Update only with a note in BASELINE.md.
-BASELINE_LOCAL = 4_161_731.1  # TPU v5e 1-chip, scan-epoch schedule
+BASELINE_LOCAL = 4_161_731.1  # TPU v5e 1-chip, scan-epoch schedule (pre one-hot-VJP)
 
 BATCH = 8192
 STEPS = 60

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--test", default=None, help="testSamples.csv path")
     ap.add_argument("--standardize", action="store_true",
                     help="z-score numerics with train stats (non-parity)")
+    ap.add_argument("--config", default=None,
+                    help="JSON config file (config_from_json); CLI flags override")
     ap.add_argument("--data-root", default=None)
     ap.add_argument(
         "--export", default=None, metavar="DIR",
@@ -36,14 +38,18 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from sparrowrecsys_tpu.config import DataConfig, TrainConfig
+    from sparrowrecsys_tpu.config import DataConfig, TrainConfig, config_from_json
     from sparrowrecsys_tpu.data.dataset import encode_samples, load_samples_csv
     from sparrowrecsys_tpu.data.negatives import add_dien_negatives
     from sparrowrecsys_tpu.models import build_model
     from sparrowrecsys_tpu.models.dien import dien_loss_fn
     from sparrowrecsys_tpu.training.loop import Trainer
 
-    data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    file_cfg = config_from_json(args.config) if args.config else None
+    data = (
+        file_cfg.data if file_cfg and args.data_root is None
+        else (DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root))
+    )
     train_csv = args.train or data.path("trainingSamples.csv")
     test_csv = args.test or data.path("testSamples.csv")
     train_ds = encode_samples(load_samples_csv(train_csv))
@@ -61,9 +67,13 @@ def main() -> None:
         test_ds = add_dien_negatives(test_ds, seed=2021)
         loss_fn = dien_loss_fn()
 
-    batch = args.batch_size or (12 if args.parity else 8192)
-    cfg = TrainConfig(
-        batch_size=batch, epochs=args.epochs, learning_rate=args.lr, seed=args.seed
+    base = file_cfg.train if file_cfg else TrainConfig()
+    batch = args.batch_size or (12 if args.parity else base.batch_size)
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        base, batch_size=batch, epochs=args.epochs,
+        learning_rate=args.lr, seed=args.seed,
     )
     model = build_model(args.model)
     trainer = Trainer(model, cfg, loss_fn=loss_fn)

@@ -90,3 +90,19 @@ def test_transforms_cli(tiny_root, capsys):
     run_main(m, ["transforms", "--data-root", tiny_root])
     out = capsys.readouterr().out
     assert "one-hot sample" in out and "countBucket" in out
+
+
+def test_training_cli_config_file(tiny_root, tmp_path, capsys):
+    import json
+
+    import sparrowrecsys_tpu.data.run as gen
+
+    run_main(gen, ["run", "--data-root", tiny_root])
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"data": {"data_root": tiny_root}, "train": {"batch_size": 64}}, f)
+    import sparrowrecsys_tpu.training.run as m
+
+    run_main(m, ["run", "--config", cfg_path, "--model", "neuralcf", "--epochs", "1"])
+    out = capsys.readouterr().out
+    assert "test:" in out

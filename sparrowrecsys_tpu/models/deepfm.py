@@ -68,10 +68,10 @@ class DeepFM(nn.Module):
         first = (
             IdBias(self.movie_buckets, name="bias_movieId")(features["movieId"])
             + IdBias(self.user_buckets, name="bias_userId")(features["userId"])
-            + IdBias(19, oov_is_negative=True, name="bias_userGenre1")(
+            + IdBias(19, name="bias_userGenre1")(
                 features["userGenre1"]
             )
-            + IdBias(19, oov_is_negative=True, name="bias_movieGenre1")(
+            + IdBias(19, name="bias_movieGenre1")(
                 features["movieGenre1"]
             )
         )
@@ -125,10 +125,10 @@ class DeepFMv2(nn.Module):
         first = (
             IdBias(self.movie_buckets, name="bias_movieId")(features["movieId"])
             + IdBias(self.user_buckets, name="bias_userId")(features["userId"])
-            + IdBias(19, oov_is_negative=True, name="bias_userGenre1")(
+            + IdBias(19, name="bias_userGenre1")(
                 features["userGenre1"]
             )
-            + IdBias(19, oov_is_negative=True, name="bias_movieGenre1")(
+            + IdBias(19, name="bias_movieGenre1")(
                 features["movieGenre1"]
             )
             + nn.Dense(1, name="first_deep")(numerics)[..., 0]

@@ -103,13 +103,16 @@ class DIEN(nn.Module):
             self.movie_buckets, d, mask_zero=True, name="emb_movie_shared"
         )
         t = self.recent_movies
+        hist_ids = history_stack(features, t)                       # [B, T]
+        hist_mask = hist_ids > 0
         cand = movie_emb(features["movieId"])                       # [B, D]
-        hist = movie_emb(history_stack(features, t))                # [B, T, D]
+        hist = movie_emb(hist_ids)                                  # [B, T, D]
         neg = movie_emb(
             jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
         )                                                            # [B, T-1, D]
 
-        hidden = gru(self._gru_params("gru", d, d), hist)           # [B, 5, D]
+        # Masked GRU: padded steps carry state (Keras mask_zero parity).
+        hidden = gru(self._gru_params("gru", d, d), hist, hist_mask)  # [B, T, D]
 
         # Attention (DIEN.py:184-213): product with repeated candidate ->
         # Dense(32, sigmoid) -> Dense(1, sigmoid) -> broadcast to [B, 5, D].
@@ -168,11 +171,18 @@ class DIEN(nn.Module):
         neg_p = nn.sigmoid(nn.Dense(1, name="aux_neg1")(neg_p))[..., 0]
 
         if self.aux_mode == "paper":
+            # Published DIEN aux loss, masked to steps whose next-step
+            # positive actually exists (pad steps would otherwise train the
+            # heads on zero-embedding inputs).
             eps = 1e-7
+            step_valid = hist_mask[:, 1:t].astype(pos_p.dtype)      # [B, T-1]
             aux = -jnp.sum(
-                jnp.log(pos_p + eps) + jnp.log(1.0 - neg_p + eps), axis=1
+                (jnp.log(pos_p + eps) + jnp.log(1.0 - neg_p + eps))
+                * step_valid,
+                axis=1,
             )
         else:
+            # Reference parity: unmasked sum (DIEN.py:297-305 has no mask).
             aux = jnp.sum(pos_p + neg_p, axis=1)
         return logits, aux
 

@@ -50,7 +50,7 @@ class GenreEmbed(nn.Module):
     @nn.compact
     def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
         table = self.param("table", uniform_embed_init(), (self.vocab, self.dim))
-        return embed_lookup(table, idx, oov_is_negative=True)
+        return embed_lookup(table, idx)  # -1 (OOV) -> zero vector
 
 
 class IdEmbed(nn.Module):
@@ -75,14 +75,11 @@ class IdBias(nn.Module):
     """
 
     buckets: int
-    oov_is_negative: bool = False
 
     @nn.compact
     def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
         w = self.param("w", nn.initializers.zeros, (self.buckets, 1))
-        return embed_lookup(
-            w, idx, oov_is_negative=self.oov_is_negative
-        )[..., 0]
+        return embed_lookup(w, idx)[..., 0]  # OOV/-1 contributes zero
 
 
 def numeric_stack(

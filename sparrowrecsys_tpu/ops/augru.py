@@ -34,18 +34,25 @@ class GRUParams(NamedTuple):
     bias: jnp.ndarray
 
 
-def gru(params: GRUParams, x: jnp.ndarray) -> jnp.ndarray:
+def gru(
+    params: GRUParams, x: jnp.ndarray, mask: jnp.ndarray = None
+) -> jnp.ndarray:
     """x [B, T, D] -> hidden states [B, T, H] (h0 = zeros).
 
     Keras GRU v2 gate math (reset_after=True is the Keras default, but the
     reference's recurrent bias is folded: we implement reset_after=False
     semantics, i.e. r applied before the recurrent matmul — the math DIEN's
     own AUGRU uses; the difference is a reparameterization invisible to AUC).
+
+    mask [B, T] (optional): masked (False) timesteps carry the previous
+    state through unchanged — Keras's mask_zero semantics (the reference's
+    GRU honors the Embedding mask, DIEN.py:173-181).
     """
     h_dim = params.recurrent.shape[0]
     b = x.shape[0]
 
-    def step(h, xt):
+    def step(h, inp):
+        xt, mt = inp
         gates_x = xt @ params.kernel + params.bias  # [B, 3H]
         xz, xr, xh = jnp.split(gates_x, 3, axis=-1)
         rz = h @ params.recurrent[:, : 2 * h_dim]
@@ -54,10 +61,15 @@ def gru(params: GRUParams, x: jnp.ndarray) -> jnp.ndarray:
         r = jax.nn.sigmoid(xr + hr)
         hh = jnp.tanh(xh + (r * h) @ params.recurrent[:, 2 * h_dim :])
         h_new = z * h + (1.0 - z) * hh
+        h_new = jnp.where(mt[:, None], h_new, h)
         return h_new, h_new
 
+    if mask is None:
+        mask = jnp.ones(x.shape[:2], bool)
     h0 = jnp.zeros((b, h_dim), x.dtype)
-    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(x, 0, 1))
+    _, hs = jax.lax.scan(
+        step, h0, (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    )
     return jnp.swapaxes(hs, 0, 1)
 
 

@@ -55,11 +55,11 @@ _gather_onehot_grad.defvjp(_gather_oh_fwd, _gather_oh_bwd)
 
 
 def embed_lookup(
-    table: jnp.ndarray, ids: jnp.ndarray, *, oov_is_negative: bool = False,
-    mask_zero: bool = False,
+    table: jnp.ndarray, ids: jnp.ndarray, *, mask_zero: bool = False
 ) -> jnp.ndarray:
-    """Gather rows; -1 (if oov_is_negative), 0 (if mask_zero), or any id
-    outside [0, V) -> zero vector.
+    """Gather rows; any id outside [lo, V) -> zero vector, where lo = 1
+    with mask_zero (history pad) and 0 otherwise. Negative ids (OOV genre
+    encoding) are always zeroed.
 
     table: [V, D]; ids: int32 [...]; returns [..., D]. The reference's
     `categorical_column_with_identity` raises on out-of-range ids; inside

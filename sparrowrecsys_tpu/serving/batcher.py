@@ -8,14 +8,16 @@ until `max_batch` accumulate), runs ONE batched scoring call, and fans the
 rows back out to the waiting callers.
 
 Used in front of any row-wise scorer: `ModelScorer.score`-style callables
-or the cosine ranker. Shapes stay static by padding to `max_batch`, so one
-compiled executable serves every traffic level.
+or the cosine ranker. Every scorer call is padded to exactly `max_batch`
+rows (repeating the first row), so one compiled executable serves every
+traffic level.
 """
 
 from __future__ import annotations
 
 import threading
-from typing import Callable, List, Sequence, Tuple
+import time
+from typing import Callable, List, Tuple
 
 import numpy as np
 
@@ -23,9 +25,9 @@ import numpy as np
 class MicroBatcher:
     """Batches concurrent `submit(query_row)` calls into one scorer call.
 
-    scorer: Callable[[np.ndarray [B, ...]], np.ndarray [B, ...]] — must
-    accept a stacked batch of query rows and return one result row per
-    query (padding rows included; they are dropped on fan-out).
+    scorer: Callable[[np.ndarray [max_batch, ...]], np.ndarray
+    [max_batch, ...]] — always receives exactly max_batch rows (padding
+    rows are duplicates of row 0 and are dropped on fan-out).
     """
 
     def __init__(
@@ -51,33 +53,59 @@ class MicroBatcher:
             if become_leader:
                 self._leader_running = True
         if become_leader:
-            self._drive()
+            try:
+                self._drive()
+            finally:
+                with self._lock:
+                    self._leader_running = False
+                # Requests that raced in after the leader drained must get
+                # a new leader; hand off to one of their threads by waking
+                # them through a zero-wait drain here.
+                self._drain_stragglers()
         ev.wait()
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
-    def _drive(self) -> None:
-        """Leader thread: wait the micro-window, then score the batch."""
-        import time
+    def _drain_stragglers(self) -> None:
+        while True:
+            with self._lock:
+                if not self._pending or self._leader_running:
+                    return
+                self._leader_running = True
+            try:
+                self._score_one_batch()
+            finally:
+                with self._lock:
+                    self._leader_running = False
 
+    def _drive(self) -> None:
+        """Leader: wait the micro-window, then drain the backlog in a LOOP
+        (bounded stack depth under sustained load)."""
         deadline = time.perf_counter() + self.max_wait
         while time.perf_counter() < deadline:
             with self._lock:
                 if len(self._pending) >= self.max_batch:
                     break
             time.sleep(self.max_wait / 10)
+        while True:
+            with self._lock:
+                if not self._pending:
+                    return
+            self._score_one_batch()
+
+    def _score_one_batch(self) -> None:
         with self._lock:
             batch = self._pending[: self.max_batch]
             self._pending = self._pending[self.max_batch :]
-            # A follower becomes the next leader if work remains.
-            if self._pending:
-                next_leader = True
-            else:
-                next_leader = False
-                self._leader_running = False
         try:
             queries = np.stack([q for q, _, _ in batch])
+            if len(batch) < self.max_batch:
+                # Pad to the static batch size -> one compiled executable.
+                pad = np.repeat(
+                    queries[:1], self.max_batch - len(batch), axis=0
+                )
+                queries = np.concatenate([queries, pad], axis=0)
             results = self.scorer(queries)
             for i, (_, ev, slot) in enumerate(batch):
                 slot["result"] = np.asarray(results[i])
@@ -86,8 +114,6 @@ class MicroBatcher:
             for _, ev, slot in batch:
                 slot["error"] = e
                 ev.set()
-        if next_leader:
-            self._drive()
 
     def stats(self) -> dict:
         with self._lock:

@@ -127,6 +127,15 @@ class Trainer:
             idx_all = order.reshape(steps, batch_size)
             mask_all = mask_all.reshape(steps, batch_size)
 
+            if self.plan is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                s = NamedSharding(
+                    self.plan.mesh, P(None, self.plan.data_axis)
+                )
+                idx_all = jax.lax.with_sharding_constraint(idx_all, s)
+                mask_all = jax.lax.with_sharding_constraint(mask_all, s)
+
             def body(carry, x):
                 p, o, m = carry
                 idx, mask = x
@@ -194,6 +203,11 @@ class Trainer:
         batch_size: Optional[int] = None,
         verbose: bool = True,
     ) -> TrainResult:
+        """Train; returns TrainResult with steady-state examples_per_sec.
+
+        verbose=True prints per-epoch metrics, which costs one device->host
+        read per epoch inside the timed window — benchmarks should pass
+        verbose=False (bench.py does)."""
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         batch_size = cfg.batch_size if batch_size is None else batch_size
@@ -260,12 +274,13 @@ class Trainer:
                 params, opt_state, mstate = self._train_step(
                     params, opt_state, mstate, feats, labels, mask
                 )
-                total_examples += batch_size
+                real = int(np.sum(np.asarray(mask) > 0)) if mask is not None else batch_size
+                total_examples += real
                 if self._t_steady is None:
                     hard_sync(params)  # first step pays compile
                     self._t_steady = time.perf_counter()
                 else:
-                    self._timed_examples += batch_size
+                    self._timed_examples += real
             history.append(M.finalize_metrics(mstate))
             if verbose:
                 em = {k: float(v) for k, v in history[-1].items()}

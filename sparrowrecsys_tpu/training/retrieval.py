@@ -54,7 +54,12 @@ class RetrievalTrainer:
         users = ds.features["userId"][pos].astype(np.int32)
         movies = ds.features["movieId"][pos].astype(np.int32)
         n = len(users)
-        bs = min(cfg.batch_size, max(n, 1))
+        if n == 0:
+            raise ValueError(
+                "RetrievalTrainer.fit needs positive (label=1) pairs; "
+                "the dataset has none"
+            )
+        bs = min(cfg.batch_size, n)
         steps = max(n // bs, 1)
 
         if params is None:
@@ -93,7 +98,9 @@ class RetrievalTrainer:
                 params, opt_state, users_d, movies_d, sub
             )
         if last_loss is not None:
-            jax.block_until_ready(last_loss)
+            from sparrowrecsys_tpu.training.loop import hard_sync
+
+            hard_sync(last_loss)  # block_until_ready is unreliable here
         return params
 
     def item_matrix(self, params, n_items: int) -> jnp.ndarray:

@@ -19,7 +19,7 @@ def test_single_query_round_trip():
     b = MicroBatcher(scorer, max_batch=8, max_wait_ms=5)
     out = b.submit(np.array([1.0, 2.0]))
     np.testing.assert_allclose(out, [2.0, 4.0])
-    assert calls == [1]
+    assert calls == [8]  # static batch: padded to max_batch
 
 
 def test_concurrent_queries_batched():
@@ -45,8 +45,9 @@ def test_concurrent_queries_batched():
         t.join()
     for i in range(16):
         np.testing.assert_allclose(results[i], [100.0 + i])
-    # Far fewer scorer calls than queries (batching happened).
-    assert sum(calls) == 16 and len(calls) <= 4, calls
+    # Far fewer scorer calls than queries (batching happened), and every
+    # call is the static max_batch size.
+    assert len(calls) <= 4 and all(c == 64 for c in calls), calls
 
 
 def test_error_propagates_to_waiters():
@@ -77,6 +78,6 @@ def test_overflow_drains_in_multiple_batches():
         t.start()
     for t in threads:
         t.join()
-    assert sum(sizes) == 10
-    assert max(sizes) <= 4
+    assert len(sizes) == 3  # ceil(10 / 4) scorer calls, all padded to 4
+    assert all(c == 4 for c in sizes)
     assert b.stats()["pending"] == 0

@@ -62,7 +62,7 @@ class TestEmbedding:
     def test_oov_and_mask_zero(self):
         table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3) + 1.0
         ids = jnp.array([-1, 0, 3])
-        out = embed_lookup(table, ids, oov_is_negative=True)
+        out = embed_lookup(table, ids)
         assert np.allclose(out[0], 0.0)
         assert np.allclose(out[1], table[0])
         out = embed_lookup(table, ids, mask_zero=True)
@@ -202,3 +202,26 @@ def test_din_fused_custom_vjp_matches_xla_grads():
     g2 = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_gru_mask_carries_state():
+    """Masked (padded) timesteps carry the previous hidden state — Keras
+    mask_zero parity for DIEN's behaviour GRU."""
+    rng = np.random.default_rng(0)
+    d = 6
+    params = GRUParams(
+        kernel=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.3),
+        recurrent=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.3),
+        bias=jnp.zeros(3 * d),
+    )
+    x = jnp.asarray(rng.normal(size=(2, 5, d)).astype(np.float32))
+    mask = jnp.asarray([[True, True, False, False, False]] * 2)
+    h = gru(params, x, mask)
+    # After the last valid step, the state must stay frozen.
+    np.testing.assert_allclose(np.asarray(h[:, 2]), np.asarray(h[:, 1]))
+    np.testing.assert_allclose(np.asarray(h[:, 4]), np.asarray(h[:, 1]))
+    # And equals the unmasked GRU run on the truncated sequence.
+    h_trunc = gru(params, x[:, :2])
+    np.testing.assert_allclose(
+        np.asarray(h[:, 1]), np.asarray(h_trunc[:, 1]), rtol=1e-6
+    )

@@ -30,12 +30,49 @@ inline int64_t parse_int(const char*& p, const char* end) {
   return any ? v : -1;
 }
 
+// Locale-independent float parse ('.' decimal point always; strtod honors
+// LC_NUMERIC and silently breaks under e.g. de_DE). Handles
+// [+-]digits[.digits][eE[+-]digits] — the full range of repr(float).
 inline double parse_float(const char*& p, const char* end) {
-  char* out = nullptr;
-  double v = strtod(p, &out);
-  if (out == p) return -1e300;
-  p = out > end ? end : out;
-  return v;
+  const char* start = p;
+  bool neg = false;
+  if (p < end && (*p == '+' || *p == '-')) neg = (*p++ == '-');
+  double v = 0.0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10.0 + (*p++ - '0');
+    any = true;
+  }
+  if (p < end && *p == '.') {
+    ++p;
+    double scale = 0.1;
+    while (p < end && *p >= '0' && *p <= '9') {
+      v += (*p++ - '0') * scale;
+      scale *= 0.1;
+      any = true;
+    }
+  }
+  if (!any) { p = start; return -1e300; }
+  if (p < end && (*p == 'e' || *p == 'E')) {
+    const char* epos = p;
+    ++p;
+    bool eneg = false;
+    if (p < end && (*p == '+' || *p == '-')) eneg = (*p++ == '-');
+    int ev = 0;
+    bool eany = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+      ev = ev * 10 + (*p++ - '0');
+      eany = true;
+    }
+    if (!eany) {
+      p = epos;  // bare 'e' is not an exponent
+    } else {
+      double mul = 1.0;
+      for (int i = 0; i < ev; ++i) mul *= 10.0;
+      v = eneg ? v / mul : v * mul;
+    }
+  }
+  return neg ? -v : v;
 }
 
 inline void skip_to(const char*& p, const char* end, char c) {
@@ -153,13 +190,17 @@ int64_t load_embeddings(const char* path, int64_t* ids, float* matrix,
     ++p;
     float* row = matrix + n * dim;
     int64_t d = 0;
-    while (p < end && *p != '\n' && d < dim) {
+    bool extra = false;
+    while (p < end && *p != '\n') {
       while (p < end && (*p == ' ' || *p == '\r')) ++p;
       if (p >= end || *p == '\n') break;
+      if (d >= dim) { extra = true; break; }  // wider row than probed dim
       row[d++] = static_cast<float>(parse_float(p, end));
     }
     skip_to(p, end, '\n');
-    if (id >= 0 && d == dim) {
+    // Reject rows whose width disagrees with the probed dim in EITHER
+    // direction — a short first line must not silently truncate the file.
+    if (id >= 0 && d == dim && !extra) {
       ids[n] = id;
       ++n;
     }

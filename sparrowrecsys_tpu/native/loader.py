@@ -93,6 +93,9 @@ def load_ratings_native(path: str):
     r = np.empty(cap, np.float32)
     t = np.empty(cap, np.int64)
     n = lib.load_ratings_csv(path.encode(), u, m, r, t, cap)
+    if n < 0:
+        # File vanished/changed between probe and parse: fall back.
+        return load_ratings(path)
     return Ratings(u[:n], m[:n], r[:n], t[:n])
 
 
@@ -112,4 +115,6 @@ def load_embeddings_native(path: str) -> Dict[int, np.ndarray]:
     ids = np.empty(rows, np.int64)
     matrix = np.empty((rows, dim.value), np.float32)
     n = lib.load_embeddings(path.encode(), ids, matrix.reshape(-1), rows, dim.value)
+    if n < 0:
+        return load_embeddings_csv(path)
     return {int(ids[i]): matrix[i] for i in range(n)}

@@ -56,6 +56,11 @@ class FileWatchSource:
                 f.seek(0, os.SEEK_END)
                 self._offset = f.tell()
                 return []
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            if size < self._offset:
+                # Truncation/rotation: restart from the top of the new file.
+                self._offset = 0
             f.seek(self._offset)
             for raw in f:
                 if not raw.endswith(b"\n"):
@@ -170,10 +175,16 @@ def attach_to_store(stream: LatestRatingStream, dm) -> None:
 
     def sink(e: RatingEvent) -> None:
         user = dm.get_user_by_id(e.user_id)
-        if user is not None:
-            if user.user_features is None:
-                user.user_features = {}
-            user.user_features["latestMovieId"] = str(e.movie_id)
+        if user is None:
+            # First-seen user: create the entity like DataManager's rating
+            # loader does, so the streamed feature is not dropped.
+            from sparrowrecsys_tpu.serving.catalog import User
+
+            user = User(e.user_id)
+            dm.users[e.user_id] = user
+        if user.user_features is None:
+            user.user_features = {}
+        user.user_features["latestMovieId"] = str(e.movie_id)
         base_sink(e)
 
     stream.sink = sink

@@ -45,6 +45,9 @@ class FeatureStore:
             self._hashes[key] = {k: str(v) for k, v in mapping.items()}
             if ttl:
                 self._expiry[key] = time.time() + ttl
+            else:
+                # Redis SET/HSET without TTL clears any previous expiry.
+                self._expiry.pop(key, None)
 
     def hgetall(self, key: str) -> Optional[Dict[str, str]]:
         with self._lock:
@@ -57,6 +60,8 @@ class FeatureStore:
             self._strings[key] = value
             if ttl:
                 self._expiry[key] = time.time() + ttl
+            else:
+                self._expiry.pop(key, None)
 
     def get(self, key: str) -> Optional[str]:
         with self._lock:
@@ -77,12 +82,14 @@ class FeatureStore:
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with self._lock:
+            # Deep-copy under the lock: json.dump outside it would iterate
+            # live dicts that another thread may mutate mid-serialization.
             blob = {
-                "hashes": self._hashes,
-                "strings": self._strings,
+                "hashes": {k: dict(v) for k, v in self._hashes.items()},
+                "strings": dict(self._strings),
                 # Absolute expiry epochs travel with the handoff so TTLs
                 # survive the offline->online hop.
-                "expiry": self._expiry,
+                "expiry": dict(self._expiry),
             }
         with open(path, "w") as f:
             json.dump(blob, f)
@@ -104,17 +111,18 @@ def export_sample_features(table, genre_vocab, store: FeatureStore) -> None:
     (scala:146-151, 241-247)."""
     import numpy as np
 
-    ts = table["timestamp"]
+    ts = np.asarray(table["timestamp"])
 
     def latest_rows(ids: np.ndarray) -> Dict[int, int]:
-        best: Dict[int, int] = {}
-        best_ts: Dict[int, int] = {}
-        for i in range(len(ids)):
-            k = int(ids[i])
-            if k not in best_ts or ts[i] > best_ts[k]:
-                best[k] = i
-                best_ts[k] = int(ts[i])
-        return best
+        # Vectorized row_number()==1: stable sort by (id, ts); the last
+        # row in each id group is its latest sample.
+        ids = np.asarray(ids)
+        order = np.lexsort((np.arange(len(ids)), ts, ids))
+        ids_s = ids[order]
+        last = np.flatnonzero(
+            np.concatenate([ids_s[1:] != ids_s[:-1], [True]])
+        )
+        return {int(ids_s[i]): int(order[i]) for i in last}
 
     def genre_str(v: int) -> str:
         return genre_vocab[v] if v >= 0 else ""

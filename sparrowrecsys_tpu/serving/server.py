@@ -107,6 +107,9 @@ class RecSysServer:
         return 200, "application/json", json.dumps(obj).encode()
 
     def _static(self, path: str) -> tuple:
+        from urllib.parse import unquote
+
+        path = unquote(path)  # /a%20b.jpg -> "a b.jpg" (Jetty parity)
         if path in ("", "/"):
             path = "/index.html"
         root = os.path.abspath(self.webroot)

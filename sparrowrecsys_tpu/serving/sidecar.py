@@ -38,27 +38,38 @@ class ScoringSidecar:
                     self.end_headers()
                     return
                 length = int(self.headers.get("Content-Length", "0"))
-                body = json.loads(self.rfile.read(length) or b"{}")
-                instances = body.get("instances", [])
-                preds = []
-                if instances:
-                    import numpy as np
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    instances = body.get("instances", [])
+                    preds = []
+                    if instances:
+                        import numpy as np
 
-                    user_ids = [int(i.get("userId", 0)) for i in instances]
-                    movie_ids = [int(i.get("movieId", 0)) for i in instances]
-                    # The reference batches one user x N movies; the general
-                    # case groups by user — one batched dispatch per unique
-                    # user instead of one per instance (dispatch costs
-                    # dominate on remote-attached devices).
-                    scores = np.empty(len(instances), np.float32)
-                    by_user = {}
-                    for pos, (u, m) in enumerate(zip(user_ids, movie_ids)):
-                        by_user.setdefault(u, []).append((pos, m))
-                    for u, items in by_user.items():
-                        s = sidecar.scorer.score(u, [m for _, m in items])
-                        for (pos, _), v in zip(items, s):
-                            scores[pos] = v
-                    preds = [[float(s)] for s in scores]
+                        user_ids = [int(i.get("userId", 0)) for i in instances]
+                        movie_ids = [int(i.get("movieId", 0)) for i in instances]
+                        # The reference batches one user x N movies; the
+                        # general case groups by user — one batched dispatch
+                        # per unique user instead of one per instance
+                        # (dispatch costs dominate on remote devices).
+                        scores = np.empty(len(instances), np.float32)
+                        by_user = {}
+                        for pos, (u, m) in enumerate(zip(user_ids, movie_ids)):
+                            by_user.setdefault(u, []).append((pos, m))
+                        for u, items in by_user.items():
+                            s = sidecar.scorer.score(u, [m for _, m in items])
+                            for (pos, _), v in zip(items, s):
+                                scores[pos] = v
+                        preds = [[float(s)] for s in scores]
+                except Exception as e:
+                    # TF-Serving-style error body instead of a dropped
+                    # connection (protocol parity for malformed requests).
+                    err = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
                 out = json.dumps({"predictions": preds}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

@@ -66,3 +66,22 @@ def test_bundled_ratings_match_python(repo_data_root):
     np.testing.assert_array_equal(a.user_ids, b.user_ids)
     np.testing.assert_array_equal(a.movie_ids, b.movie_ids)
     np.testing.assert_allclose(a.ratings, b.ratings)
+
+
+@needs_native
+def test_embeddings_reject_inconsistent_widths(tmp_path):
+    """Rows wider or narrower than the probed dim are skipped, never
+    silently truncated (review regression)."""
+    path = tmp_path / "bad.csv"
+    path.write_text("1:0.5 0.5\n2:1.0 2.0 3.0\n3:0.25 0.75\n")
+    out = load_embeddings_native(str(path))
+    assert set(out) == {1, 3}
+    np.testing.assert_allclose(out[3], [0.25, 0.75])
+
+
+@needs_native
+def test_exponent_floats_parse(tmp_path):
+    path = tmp_path / "exp.csv"
+    path.write_text("7:1.5e-3 -2E2 3e+1\n")
+    out = load_embeddings_native(str(path))
+    np.testing.assert_allclose(out[7], [0.0015, -200.0, 30.0], rtol=1e-6)

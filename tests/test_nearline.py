@@ -81,3 +81,32 @@ def test_crlf_file_offsets_stay_exact(tmp_path):
         (i, i * 10) for i in range(1, 21)
     ]
     assert src.poll() == []  # no phantom re-reads
+
+
+def test_truncation_resets_offset(tmp_path):
+    """Review regression: file rotation/truncation restarts the tail."""
+    path = tmp_path / "ratings.csv"
+    path.write_text("userId,movieId,rating,timestamp\n1,10,4.0,100\n")
+    src = FileWatchSource(str(path), interval=0.01)
+    assert src.poll() == []
+    # Rotate: new, smaller file.
+    path.write_text("2,20,3.0,200\n")
+    events = src.poll()
+    assert [(e.user_id, e.movie_id) for e in events] == [(2, 20)]
+
+
+def test_attach_creates_first_seen_users(tmp_path):
+    from sparrowrecsys_tpu.serving.catalog import DataManager
+
+    dm = DataManager()  # no users loaded
+    path = tmp_path / "r.csv"
+    path.write_text("")
+    stream = LatestRatingStream(
+        FileWatchSource(str(path), interval=0.01, from_start=True),
+        window_seconds=0.1, sink=lambda e: None,
+    )
+    attach_to_store(stream, dm)
+    with open(path, "a") as f:
+        f.write("99,7,5.0,1\n")
+    stream.run_for(0.5)
+    assert dm.users[99].user_features["latestMovieId"] == "7"

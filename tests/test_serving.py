@@ -339,3 +339,50 @@ def test_recforyou_micro_batching(dm):
     for t in threads:
         t.join()
     assert results == expected
+
+
+def test_sidecar_malformed_request_returns_400(dm):
+    import http.client
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.serving.sidecar import ScoringSidecar
+
+    model = build_model("neuralcf")
+    feats = {"movieId": np.zeros(2, np.int32), "userId": np.zeros(2, np.int32)}
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+    sc = ScoringSidecar(ModelScorer(model, params, batch_pad=8), port=0)
+    sc.start()
+    try:
+        conn = http.client.HTTPConnection("localhost", sc.port, timeout=10)
+        conn.request(
+            "POST", "/v1/models/recmodel:predict",
+            body=b'{"instances": [{"userId": "abc"}]}',
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"error" in resp.read()
+        conn.close()
+    finally:
+        sc.stop()
+
+
+def test_static_percent_encoded_paths(dm, tmp_path):
+    from sparrowrecsys_tpu.config import ServingConfig
+    from sparrowrecsys_tpu.serving.server import RecSysServer
+
+    webroot = tmp_path / "wr"
+    webroot.mkdir()
+    (webroot / "a b.txt").write_text("spaced")
+    os.environ["PORT"] = "0"
+    s = RecSysServer(dm, ServingConfig(port=0), webroot=str(webroot))
+    s.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://localhost:{s.port}/a%20b.txt", timeout=10
+        ) as r:
+            assert r.read() == b"spaced"
+    finally:
+        s.stop()
+        os.environ.pop("PORT", None)

@@ -76,9 +76,8 @@ def bench_serving() -> dict:
     from sparrowrecsys_tpu.serving.catalog import DataManager
     from sparrowrecsys_tpu.serving.server import RecSysServer
 
-    REF = "/root/reference/src/main/resources/webroot/sampledata"
     dm = DataManager().load_data(
-        f"{REF}/movies.csv", None, "data/ratings.csv",
+        "data/movies.csv", "data/links.csv", "data/ratings.csv",
         "data/modeldata/item2vecEmb.csv", "data/modeldata/userEmb.csv",
     )
     os.environ["PORT"] = "0"

@@ -90,8 +90,16 @@ bool read_file(const char* path, Buffer* buf) {
   if (!f) return false;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
+  if (n < 0) {  // e.g. path is a directory: fall back to the Python parser
+    fclose(f);
+    return false;
+  }
   fseek(f, 0, SEEK_SET);
   buf->data = static_cast<char*>(malloc(n + 1));
+  if (!buf->data) {
+    fclose(f);
+    return false;
+  }
   buf->size = fread(buf->data, 1, n, f);
   buf->data[buf->size] = '\0';
   fclose(f);

@@ -35,12 +35,7 @@ def main() -> None:
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
     out_dir = args.out_dir or data.data_root
-    movies_path = data.path(data.movies_csv)
-    if not os.path.exists(movies_path):
-        movies_path = (
-            "/root/reference/src/main/resources/webroot/sampledata/movies.csv"
-        )
-    catalog = load_movies(movies_path)
+    catalog = load_movies(data.path(data.movies_csv))
     if args.native:
         from sparrowrecsys_tpu.native import load_ratings_native
 

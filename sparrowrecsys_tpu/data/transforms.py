@@ -137,10 +137,7 @@ def main() -> None:
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
     import os
 
-    movies_path = data.path(data.movies_csv)
-    if not os.path.exists(movies_path):
-        movies_path = "/root/reference/src/main/resources/webroot/sampledata/movies.csv"
-    catalog = load_movies(movies_path)
+    catalog = load_movies(data.path(data.movies_csv))
     ratings = load_ratings(data.path(data.ratings_csv))
 
     oh = one_hot(catalog.movie_ids[:10] % 1001, 1001)

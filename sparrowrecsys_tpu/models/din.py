@@ -44,8 +44,9 @@ class DIN(nn.Module):
     attention_hidden: int = 32
     compute_dtype: str = "float32"
     #: behaviour-sequence length; 5 = reference parity (`DIN.py:31`),
-    #: larger values consume build_samples(history_length=N) columns and
-    #: auto-select the fused Pallas attention at T >= 32.
+    #: larger values consume build_samples(history_length=N) columns.
+    #: XLA is the measured default at every T (KERNELS.md); the fused
+    #: Pallas attention is opt-in via use_pallas=True.
     recent_movies: int = 5
     use_pallas: Optional[bool] = None  # None = measured auto-dispatch
 

@@ -98,17 +98,21 @@ def measure_scaling(
         mstate = M.init_metrics()
         batches = list(trainer._batches(ds, batch, False, 0))[:1]
         f, l, m = batches[0]
+        from sparrowrecsys_tpu.training.loop import hard_sync
+
         for _ in range(3):  # warmup/compile
             params, opt_state, mstate = trainer._train_step(
                 params, opt_state, mstate, f, l, m
             )
-        jax.block_until_ready(params)
+        # hard_sync, not block_until_ready: the latter returns early on the
+        # axon remote backend (CLAUDE.md) and would record dispatch pace.
+        hard_sync(params)
         t0 = time.perf_counter()
         for _ in range(steps):
             params, opt_state, mstate = trainer._train_step(
                 params, opt_state, mstate, f, l, m
             )
-        jax.block_until_ready(params)
+        hard_sync(params)
         dt = time.perf_counter() - t0
         eps = batch * steps / dt
         per_dev = eps / n

@@ -18,12 +18,14 @@ import os
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="embedding_mlp")
-    ap.add_argument("--epochs", type=int, default=5)
+    # epochs/lr/seed default to None so a --config file's train.* values
+    # are honored unless the flag is actually passed ("flags override").
+    ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--parity", action="store_true",
                     help="reference-parity settings (batch=12)")
-    ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--train", default=None, help="trainingSamples.csv path")
     ap.add_argument("--test", default=None, help="testSamples.csv path")
     ap.add_argument("--standardize", action="store_true",
@@ -71,10 +73,14 @@ def main() -> None:
     batch = args.batch_size or (12 if args.parity else base.batch_size)
     import dataclasses as _dc
 
-    cfg = _dc.replace(
-        base, batch_size=batch, epochs=args.epochs,
-        learning_rate=args.lr, seed=args.seed,
-    )
+    overrides = {"batch_size": batch}
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    cfg = _dc.replace(base, **overrides)
     model = build_model(args.model)
     trainer = Trainer(model, cfg, loss_fn=loss_fn)
     result = trainer.fit(train_ds, test=test_ds)

@@ -51,9 +51,12 @@ class StepTimer:
         self.steps += 1
 
     def mark_sync(self, x) -> None:
-        import jax
+        # block_until_ready returns early on the axon remote backend
+        # (CLAUDE.md); hard_sync forces a device->host read, which cannot
+        # complete before the producing executable does.
+        from sparrowrecsys_tpu.training.loop import hard_sync
 
-        jax.block_until_ready(x)
+        hard_sync(x)
         self._last = time.perf_counter()
 
     @property

@@ -22,22 +22,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-REFERENCE_SAMPLEDATA = "/root/reference/src/main/resources/webroot/sampledata"
+# Vendored data assets (data/): goldenTestSamples.csv is the reference's
+# 22,440-row testSamples.csv snapshot — the 27-column schema oracle for
+# golden-row tests. movies.csv/links.csv are the MovieLens-small catalog
+# cut. The repo is self-contained: no test or runtime path reads the
+# read-only reference mount.
+REPO_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 @pytest.fixture(scope="session")
 def reference_test_samples_path():
-    path = os.path.join(REFERENCE_SAMPLEDATA, "testSamples.csv")
-    if not os.path.exists(path):
-        pytest.skip("reference testSamples.csv not available")
+    path = os.path.join(REPO_DATA, "goldenTestSamples.csv")
+    assert os.path.exists(path), "vendored golden testSamples missing"
     return path
 
 
 @pytest.fixture(scope="session")
 def reference_movies_path():
-    path = os.path.join(REFERENCE_SAMPLEDATA, "movies.csv")
-    if not os.path.exists(path):
-        pytest.skip("reference movies.csv not available")
+    path = os.path.join(REPO_DATA, "movies.csv")
+    assert os.path.exists(path), "vendored movies.csv missing"
     return path
 
 

@@ -41,10 +41,7 @@ def main() -> None:
     from sparrowrecsys_tpu.training.loop import Trainer
 
     data = DataConfig()
-    movies_path = data.path(data.movies_csv)
-    if not os.path.exists(movies_path):
-        movies_path = "/root/reference/src/main/resources/webroot/sampledata/movies.csv"
-    catalog = load_movies(movies_path)
+    catalog = load_movies(data.path(data.movies_csv))
     ratings = load_ratings(data.path(data.ratings_csv))
 
     t0 = time.perf_counter()

@@ -67,14 +67,16 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
 def bench_serving() -> dict:
     """End-to-end HTTP serving throughput on /getrecforyou?model=emb —
     the reference's hot path (800-candidate ranking per request,
-    RecForYouProcess.java:30-99) through our batched-cosine ranker."""
+    RecForYouProcess.java:30-99) through the asyncio keep-alive server,
+    micro-batched cosine ranking, load driven OUT-OF-PROCESS
+    (tools/http_load.py) so the generator doesn't share the server GIL."""
     import os
-    import threading
     import urllib.request
 
     from sparrowrecsys_tpu.config import ServingConfig
     from sparrowrecsys_tpu.serving.catalog import DataManager
     from sparrowrecsys_tpu.serving.server import RecSysServer
+    from tools.http_load import run_load
 
     dm = DataManager().load_data(
         "data/movies.csv", "data/links.csv", "data/ratings.csv",
@@ -84,36 +86,23 @@ def bench_serving() -> dict:
     server = RecSysServer(dm, ServingConfig(port=0))
     server.start()
     uids = [int(u) for u in dm.user_emb_ids[:64]]
-    base = f"http://localhost:{server.port}"
-
-    def worker(count, out, wi):
-        for i in range(count):
-            uid = uids[(wi * count + i) % len(uids)]
-            with urllib.request.urlopen(
-                f"{base}/getrecforyou?id={uid}&size=32&model=emb", timeout=30
-            ) as r:
-                r.read()
-        out[wi] = count
-
-    # warm
-    worker(5, {}, 0)
-    n_threads, per = 8, 50
-    out = {}
-    threads = [
-        threading.Thread(target=worker, args=(per, out, i)) for i in range(n_threads)
-    ]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
+    base = f"http://127.0.0.1:{server.port}"
+    # warm (compile the cosine scorer)
+    for uid in uids[:3]:
+        urllib.request.urlopen(
+            f"{base}/getrecforyou?id={uid}&size=32&model=emb", timeout=60
+        ).read()
+    res = run_load(
+        f"{base}/getrecforyou?id={{id}}&size=32&model=emb",
+        procs=4, conns=8, seconds=5.0, ids=uids,
+    )
     server.stop()
     return {
         "metric": "serving_recforyou_requests_per_sec",
-        "value": round(n_threads * per / dt, 1),
-        "unit": "req/s (800-candidate emb ranking)",
-        "vs_baseline": 1.0,
+        "value": res["rps"],
+        "unit": "req/s (800-candidate emb ranking, keep-alive HTTP)",
+        "vs_baseline": round(res["rps"] / 73.0, 2),
+        "errors": res["errors"],
     }
 
 

@@ -1,0 +1,153 @@
+"""Asyncio HTTP/1.1 front-end for the serving plane.
+
+The round-1 facade (`http.server.ThreadingHTTPServer`, HTTP/1.0, one
+thread + one TCP handshake per request) cost 7x vs the core ranking path
+(BASELINE.md round-1: 73 req/s HTTP vs ~500 req/s core). This is the
+Jetty-NIO-class replacement (`online/RecSysServer.java:76-78`): a single
+asyncio event loop multiplexes persistent keep-alive connections and
+pipelines sequential requests, while handler execution (catalog lookups,
+device-dispatching rankers) runs on a bounded thread pool so the loop
+never blocks on scoring.
+
+GET-only by design — the reference's five servlets and static webroot are
+all GET (`online/service/*.java`).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+Response = Tuple[int, str, bytes]
+
+_STATUS = {200: "OK", 404: "Not Found", 405: "Method Not Allowed",
+           400: "Bad Request", 500: "Internal Server Error"}
+
+
+class AsyncHTTPServer:
+    """Keep-alive HTTP server around a `handler(path, q) -> (status,
+    content_type, body)` routing callable (RecSysServer.handle)."""
+
+    def __init__(
+        self,
+        handler: Callable[[str, Callable[..., str]], Response],
+        port: int = 0,
+        host: str = "0.0.0.0",
+        workers: int = 16,
+    ):
+        self.handler = handler
+        self.host = host
+        self.port = port
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._ready = threading.Event()
+
+    # ------------------------------------------------------------------
+    async def _client(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                try:
+                    head = await reader.readuntil(b"\r\n\r\n")
+                except (asyncio.IncompleteReadError, ConnectionResetError,
+                        asyncio.LimitOverrunError):
+                    break
+                line, _, rest = head.partition(b"\r\n")
+                parts = line.decode("latin1").split()
+                if len(parts) < 3:
+                    break
+                method, target, version = parts[0], parts[1], parts[2]
+                lower = rest.lower()
+                close = (
+                    b"connection: close" in lower
+                    or (version == "HTTP/1.0"
+                        and b"connection: keep-alive" not in lower)
+                )
+                if method != "GET":
+                    await self._respond(writer, 405, "text/plain",
+                                        b"GET only", close=True)
+                    break
+                parsed = urlparse(target)
+                qs = parse_qs(parsed.query)
+
+                def q(name, default=""):
+                    return qs.get(name, [default])[0]
+
+                try:
+                    status, ctype, body = await loop.run_in_executor(
+                        self._pool, self.handler, parsed.path, q
+                    )
+                except Exception:
+                    status, ctype, body = 500, "text/plain", b""
+                await self._respond(writer, status, ctype, body, close=close)
+                if close:
+                    break
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    @staticmethod
+    async def _respond(writer, status: int, ctype: str, body: bytes,
+                       *, close: bool) -> None:
+        reason = _STATUS.get(status, "OK")
+        head = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            "Access-Control-Allow-Origin: *\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Connection: {'close' if close else 'keep-alive'}\r\n"
+            "\r\n"
+        ).encode("latin1")
+        writer.write(head + body)
+        await writer.drain()
+
+    # ------------------------------------------------------------------
+    async def _serve(self) -> None:
+        self._server = await asyncio.start_server(
+            self._client, self.host, self.port
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._ready.set()
+        async with self._server:
+            await self._server.serve_forever()
+
+    def _run_loop(self) -> None:
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        try:
+            self._loop.run_until_complete(self._serve())
+        except asyncio.CancelledError:
+            pass
+        finally:
+            self._loop.close()
+
+    def start(self, block: bool = False) -> None:
+        if block:
+            self._run_loop()
+        else:
+            self._thread = threading.Thread(target=self._run_loop, daemon=True)
+            self._thread.start()
+            if not self._ready.wait(timeout=10):
+                raise RuntimeError("HTTP server failed to start")
+
+    def stop(self) -> None:
+        if self._loop is None:
+            return
+
+        def _shutdown():
+            for task in asyncio.all_tasks(self._loop):
+                task.cancel()
+
+        self._loop.call_soon_threadsafe(_shutdown)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False)

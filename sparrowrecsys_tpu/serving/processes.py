@@ -97,6 +97,7 @@ class RecForYouProcess:
         dm: DataManager,
         scorer: Optional[ModelScorer] = None,
         micro_batch: bool = False,
+        batch_wait_ms: float = 2.0,
     ):
         self.dm = dm
         self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
@@ -123,7 +124,9 @@ class RecForYouProcess:
                         cosine_scores(jnp.asarray(user_embs), jnp.asarray(mat))
                     )
 
-            self._batcher = MicroBatcher(_score_batch, max_batch=64, max_wait_ms=2.0)
+            self._batcher = MicroBatcher(
+                _score_batch, max_batch=64, max_wait_ms=batch_wait_ms
+            )
 
     def _candidate_set(self):
         import numpy as np

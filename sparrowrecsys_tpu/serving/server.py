@@ -1,9 +1,10 @@
 """HTTP facade: the five reference endpoints + static webroot.
 
 Rebuild of `online/RecSysServer.java` + the five servlets
-(`online/service/*.java`) on `http.server.ThreadingHTTPServer` (the
-DataManager is read-only after load, the same property that makes Jetty's
-thread pool safe in the reference — SURVEY.md §5):
+(`online/service/*.java`) on an asyncio keep-alive front-end
+(`serving/http.py` — the Jetty-NIO-class replacement; the DataManager is
+read-only after load, the same property that makes Jetty's thread pool
+safe in the reference — SURVEY.md §5):
 
 - GET /getmovie?id=             (MovieService.java:39-61)
 - GET /getuser?id=              (UserService.java:34-48)
@@ -23,14 +24,12 @@ from __future__ import annotations
 
 import json
 import os
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
-from urllib.parse import parse_qs, urlparse
 
 from sparrowrecsys_tpu.config import ServingConfig
 from sparrowrecsys_tpu.serving.ab import get_config_by_user_id
 from sparrowrecsys_tpu.serving.catalog import DataManager
+from sparrowrecsys_tpu.serving.http import AsyncHTTPServer
 from sparrowrecsys_tpu.serving.processes import RecForYouProcess, SimilarMovieProcess
 
 _CONTENT_TYPES = {
@@ -52,14 +51,20 @@ class RecSysServer:
         self.dm = dm
         self.config = config or ServingConfig()
         self.similar = SimilarMovieProcess(dm)
-        self.rec_for_you = RecForYouProcess(dm, scorer)
+        # Micro-batched by default: concurrent /getrecforyou?model=emb
+        # requests coalesce into one [B, 800] cosine dispatch. max_wait=0
+        # (TF-Serving-style adaptive batching): the leader scores whatever
+        # is pending immediately — zero added latency at low load, natural
+        # batch growth while a batch is in flight at high load.
+        self.rec_for_you = RecForYouProcess(
+            dm, scorer, micro_batch=True, batch_wait_ms=0.0
+        )
         self.ab_test = ab_test
         self.webroot = webroot or self.config.webroot or os.path.join(
             os.path.dirname(__file__), "webroot"
         )
         self.port = int(os.environ.get("PORT", self.config.port))
-        self._httpd: Optional[ThreadingHTTPServer] = None
-        self._thread: Optional[threading.Thread] = None
+        self._httpd: Optional[AsyncHTTPServer] = None
 
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:
@@ -123,45 +128,14 @@ class RecSysServer:
             return 200, _CONTENT_TYPES.get(ext, "application/octet-stream"), f.read()
 
     # ---- server lifecycle ------------------------------------------------
-    def _make_handler(self):
-        server = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):
-                parsed = urlparse(self.path)
-                qs = parse_qs(parsed.query)
-
-                def q(name, default=""):
-                    return qs.get(name, [default])[0]
-
-                status, ctype, body = server.handle(parsed.path, q)
-                self.send_response(status)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Access-Control-Allow-Origin", "*")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def log_message(self, fmt, *args):  # quiet
-                pass
-
-        return Handler
-
     def start(self, block: bool = False) -> None:
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port), self._make_handler())
-        self.port = self._httpd.server_address[1]
-        if block:
-            self._httpd.serve_forever()
-        else:
-            self._thread = threading.Thread(
-                target=self._httpd.serve_forever, daemon=True
-            )
-            self._thread.start()
+        self._httpd = AsyncHTTPServer(self.handle, port=self.port)
+        self._httpd.start(block=block)
+        self.port = self._httpd.port
 
     def stop(self) -> None:
         if self._httpd:
-            self._httpd.shutdown()
-            self._httpd.server_close()
+            self._httpd.stop()
 
 
 def main() -> None:

@@ -116,7 +116,15 @@ class Trainer:
             host->device traffic is ONE PRNG key — dispatch/transfer
             latency (severe over remote-attached TPUs, real everywhere)
             amortizes to zero, and XLA overlaps the gather of batch t+1
-            with the update of batch t."""
+            with the update of batch t.
+
+            Feature columns are PACKED into dense [N, C] matrices (one
+            int32, one float32) before the scan so the per-step shuffle
+            gather is one wide-row gather per dtype. Gathering 28 narrow
+            [N] columns separately is tile-amplified ~8-100x on TPU (a
+            4-byte random access reads a whole (8,128) tile); measured on
+            v5e it was ~0.7 ms/step of the DeepFM budget — half the full
+            step (tools/step_exp3.py: 1.53 -> 0.80 ms/step without it)."""
             steps = -(-n // batch_size)
             padded = steps * batch_size
             order = (
@@ -136,11 +144,41 @@ class Trainer:
                 idx_all = jax.lax.with_sharding_constraint(idx_all, s)
                 mask_all = jax.lax.with_sharding_constraint(mask_all, s)
 
+            # Pack scalar columns by dtype; rare non-1D columns stay as-is.
+            int_cols = [
+                k for k, v in data.items()
+                if v.ndim == 1 and jnp.issubdtype(v.dtype, jnp.integer)
+            ]
+            flt_cols = [
+                k for k, v in data.items()
+                if v.ndim == 1 and not jnp.issubdtype(v.dtype, jnp.integer)
+            ]
+            other = {k: v for k, v in data.items() if v.ndim != 1}
+            int_mat = (
+                jnp.stack([data[k].astype(jnp.int32) for k in int_cols], axis=1)
+                if int_cols else None
+            )
+            # labels ride the float matrix, so it always exists
+            flt_mat = jnp.stack(
+                [data[k].astype(jnp.float32) for k in flt_cols]
+                + [labels_all.astype(jnp.float32)],
+                axis=1,
+            )
+
             def body(carry, x):
                 p, o, m = carry
                 idx, mask = x
-                feats = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-                labels = jnp.take(labels_all, idx, axis=0)
+                feats = {}
+                if int_mat is not None:
+                    rows = jnp.take(int_mat, idx, axis=0)
+                    for j, k in enumerate(int_cols):
+                        feats[k] = rows[:, j]
+                frows = jnp.take(flt_mat, idx, axis=0)
+                for j, k in enumerate(flt_cols):
+                    feats[k] = frows[:, j]
+                labels = frows[:, -1]
+                for k, v in other.items():
+                    feats[k] = jnp.take(v, idx, axis=0)
                 return train_step(p, o, m, feats, labels, mask), None
 
             (params, opt_state, mstate), _ = jax.lax.scan(

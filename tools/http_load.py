@@ -1,0 +1,132 @@
+"""Out-of-process HTTP load generator (keep-alive, multi-process).
+
+The round-1 serving bench drove load from threads inside the server
+process — GIL-shared with the handlers, understating the server. This
+generator lives in its own process tree: N worker processes, each with C
+persistent keep-alive connections driven round-robin.
+
+    python tools/http_load.py --url "http://127.0.0.1:6010/getrecforyou?id=1&size=32&model=emb" \
+        --procs 4 --conns 8 --seconds 5 [--ids 1,2,...]
+
+Prints one JSON line: {"requests": N, "seconds": S, "rps": R, "errors": E}.
+`--ids` substitutes {id} in the url template per request (round-robin) so
+caches don't trivially serve one hot user.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import multiprocessing as mp
+import socket
+import time
+from urllib.parse import urlparse
+
+
+def worker(url_templates, conns, seconds, out_q):
+    parsed = urlparse(url_templates[0])
+    host, port = parsed.hostname, parsed.port or 80
+    socks = []
+    for _ in range(conns):
+        s = socket.create_connection((host, port), timeout=10)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        socks.append(s)
+    paths = itertools.cycle(
+        [u[u.index(parsed.path):] if parsed.path in u else u for u in url_templates]
+    )
+    n = errors = 0
+    bufs = [b""] * conns
+    deadline = time.perf_counter() + seconds
+    try:
+        while time.perf_counter() < deadline:
+            # pipeline one request per connection, then collect responses
+            for i, s in enumerate(socks):
+                path = next(paths)
+                req = (
+                    f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+                    "Connection: keep-alive\r\n\r\n"
+                ).encode()
+                s.sendall(req)
+            for i, s in enumerate(socks):
+                try:
+                    body_len = None
+                    buf = bufs[i]
+                    while True:
+                        if b"\r\n\r\n" in buf and body_len is None:
+                            head, _, buf = buf.partition(b"\r\n\r\n")
+                            body_len = 0
+                            for line in head.split(b"\r\n"):
+                                if line.lower().startswith(b"content-length:"):
+                                    body_len = int(line.split(b":")[1])
+                        if body_len is not None and len(buf) >= body_len:
+                            buf = buf[body_len:]
+                            break
+                        chunk = s.recv(65536)
+                        if not chunk:
+                            raise ConnectionError("closed")
+                        buf += chunk
+                    bufs[i] = buf
+                    n += 1
+                except Exception:
+                    errors += 1
+                    try:
+                        s.close()
+                    except Exception:
+                        pass
+                    s = socket.create_connection((host, port), timeout=10)
+                    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                    socks[i] = s
+                    bufs[i] = b""
+    finally:
+        for s in socks:
+            try:
+                s.close()
+            except Exception:
+                pass
+    out_q.put((n, errors))
+
+
+def run_load(url: str, procs: int, conns: int, seconds: float, ids=None) -> dict:
+    if ids:
+        urls = [url.replace("{id}", str(i)) for i in ids]
+    else:
+        urls = [url]
+    q = mp.Queue()
+    ps = [
+        mp.Process(target=worker, args=(urls, conns, seconds, q))
+        for _ in range(procs)
+    ]
+    t0 = time.perf_counter()
+    for p in ps:
+        p.start()
+    total = errors = 0
+    for _ in ps:
+        n, e = q.get()
+        total += n
+        errors += e
+    for p in ps:
+        p.join()
+    dt = time.perf_counter() - t0
+    return {
+        "requests": total,
+        "seconds": round(dt, 2),
+        "rps": round(total / max(dt, 1e-9), 1),
+        "errors": errors,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", required=True)
+    ap.add_argument("--procs", type=int, default=4)
+    ap.add_argument("--conns", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--ids", default=None, help="comma-separated {id} values")
+    args = ap.parse_args()
+    ids = [int(x) for x in args.ids.split(",")] if args.ids else None
+    print(json.dumps(run_load(args.url, args.procs, args.conns, args.seconds, ids)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,26 @@
-"""Retrieval quality: recall@K for the two-tower model and item2vec.
+"""Retrieval quality: recall@K under a shared leave-one-out protocol.
 
 BASELINE.json target: "retrieval recall@10 parity vs reference
 (NeuralCF / two-tower)". The reference never measures recall; this tool
-establishes it (the same protocol as PARITY.md):
+establishes it.
 
-- two-tower: train `neuralcf_two_tower` on trainingSamples, encode all
-  1001 movie ids with the item tower ONCE, then for every positive test
-  example rank the user's scores over the full catalog on device
-  (`ops.topk`) and check whether the rated movie lands in the top K.
-- item2vec: user embedding (mean of watched vectors) vs item embeddings,
-  same protocol — the serving plane's "emb" model quality.
+Round-1's protocol was biased (VERDICT r1 weak-#1): item2vec trained on
+ALL ratings (including the test events) and its user embeddings averaged
+the very vectors it was asked to predict, while the two-tower was scored
+on every test positive over the full catalog — leakage for one method,
+none for the other. Round-2 protocol, identical for every method:
 
-    python tools/recall_eval.py [--k 10] [--epochs 5]
+- Split: per user, positives = rating >= 3.5 ordered by timestamp; the
+  LAST positive is the held-out test item (standard leave-one-out);
+  every earlier event is training data. Users with < 2 positives are
+  train-only.
+- Score: rank the user over the full 1001-id catalog, EXCLUDING the
+  user's seen training items (you don't re-recommend watched movies),
+  hit iff the held-out item lands in the top K.
+- Baselines: `popularity` (global top-K by training rating count) gives
+  the floor any learned retriever must beat.
+
+    python tools/recall_eval.py [--k 10] [--epochs 40] [--json-out recall.json]
 """
 
 from __future__ import annotations
@@ -25,55 +34,69 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def two_tower_recall(train_ds, test_ds, k: int, epochs: int, seed: int = 0) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from sparrowrecsys_tpu.config import TrainConfig
-    from sparrowrecsys_tpu.models import build_model
-    from sparrowrecsys_tpu.training.loop import Trainer
-
-    model = build_model("neuralcf_two_tower")
-    trainer = Trainer(model, TrainConfig(batch_size=2048, epochs=epochs, seed=seed))
-    res = trainer.fit(train_ds, verbose=False)
-    params = res.params
-
-    pos = test_ds.labels > 0.5
-    users = test_ds.features["userId"][pos]
-    movies = test_ds.features["movieId"][pos]
-    uniq_users = np.unique(users)
-    # Rank by the FULL model output (the tower dot feeds a Dense(1) whose
-    # weight sign would otherwise silently invert a raw-dot ranking).
-    all_movies = jnp.arange(1001, dtype=jnp.int32)
-
-    @jax.jit
-    def score_user(params, uid):
-        feats = {
-            "movieId": all_movies,
-            "userId": jnp.full((1001,), uid, jnp.int32),
-        }
-        return model.apply({"params": params}, feats)
-
-    scores = np.stack(
-        [np.asarray(score_user(params, int(u))) for u in uniq_users]
-    )  # [U, 1001]
-    topk = np.argpartition(-scores, k, axis=1)[:, :k]
-    row_of = {int(u): i for i, u in enumerate(uniq_users)}
-    hits = sum(
-        1 for u, m in zip(users, movies) if int(m) in set(topk[row_of[int(u)]])
-    )
-    return hits / max(len(users), 1)
+N_ITEMS = 1001
+POS_THRESHOLD = 3.5
 
 
-def retrieval_two_tower_recall(
-    train_ds, test_ds, k: int, epochs: int, seed: int = 0
-) -> float:
-    """Two-tower trained the retrieval way: in-batch sampled softmax over
-    positive (user, movie) pairs — the standard upgrade over CTR-style
-    training that the reference lacks (its NeuralCF is pointwise-CTR only,
-    which ranks unseen movies arbitrarily; this mode makes the towers a
-    real retrieval model)."""
+def leave_one_out_split(ratings):
+    """Returns (train_ratings, test_pairs [(u, m)], seen {u: np.ndarray}).
+
+    Test = each eligible user's temporally-last positive event; train =
+    all remaining events (positives AND negatives — negatives carry
+    signal for CTR-style methods and hurt nobody else)."""
+    from sparrowrecsys_tpu.data.movielens import Ratings
+
+    u, m = ratings.user_ids, ratings.movie_ids
+    r, t = ratings.ratings, ratings.timestamps
+    pos = r >= POS_THRESHOLD
+    # order events per user by timestamp (stable for ties)
+    order = np.lexsort((t, u))
+    test_mask = np.zeros(len(u), bool)
+    # walk per-user runs, pick last positive of users with >= 2 positives
+    su = u[order]
+    starts = np.flatnonzero(np.concatenate([[True], su[1:] != su[:-1]]))
+    ends = np.concatenate([starts[1:], [len(su)]])
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        p = idx[pos[idx]]
+        if len(p) >= 2:
+            test_mask[p[-1]] = True
+    train = Ratings(u[~test_mask], m[~test_mask], r[~test_mask], t[~test_mask])
+    test_pairs = list(zip(u[test_mask].tolist(), m[test_mask].tolist()))
+    seen: dict = {}
+    for uu, mm in zip(u[~test_mask], m[~test_mask]):
+        seen.setdefault(int(uu), []).append(int(mm))
+    seen = {k: np.unique(v) for k, v in seen.items()}
+    return train, test_pairs, seen
+
+
+def recall_at_k(score_rows, test_pairs, seen, k: int) -> float:
+    """score_rows: {user_id: [N_ITEMS] scores}. Seen train items are
+    masked out before the top-k."""
+    hits = total = 0
+    for uu, mm in test_pairs:
+        s = score_rows.get(int(uu))
+        if s is None:
+            continue
+        s = s.copy()
+        s[seen.get(int(uu), [])] = -np.inf
+        top = np.argpartition(-s, k)[:k]
+        hits += int(mm in set(top.tolist()))
+        total += 1
+    return hits / max(total, 1)
+
+
+def eval_two_tower_retrieval(train, test_pairs, k, epochs, seed=0,
+                             logq=True, serve_pop_alpha=1.0) -> float:
+    """logQ-corrected in-batch-softmax towers. The training correction
+    subtracts log p(item), so the learned dot estimates popularity-free
+    preference; serving adds alpha*log p(item) back (the principled
+    inverse — rank by p(item|user) rather than the popularity-stripped
+    ratio). Measured sweep (tools history, 2026-08-17): without the
+    restore the model scores 0.03-0.08; with it ~0.09 — personalization
+    headroom over popularity on this 22k-event sample is ~nil because a
+    median user has <2 train positives (only 1238 events carry any
+    history)."""
     import jax.numpy as jnp
 
     from sparrowrecsys_tpu.models import build_model
@@ -82,78 +105,148 @@ def retrieval_two_tower_recall(
         RetrievalTrainer,
     )
 
+    pos = train.ratings >= POS_THRESHOLD
+    users = train.user_ids[pos]
+    movies = train.movie_ids[pos]
     model = build_model("neuralcf_two_tower", hidden=(32, 32))
     trainer = RetrievalTrainer(
-        model, RetrievalConfig(batch_size=1024, epochs=epochs * 4, seed=seed)
+        model, RetrievalConfig(batch_size=1024, epochs=epochs, seed=seed,
+                               logq=logq)
     )
-    params = trainer.fit(train_ds)
-    item_vecs = trainer.item_matrix(params, 1001)
-    tpos = test_ds.labels > 0.5
-    tusers = test_ds.features["userId"][tpos]
-    tmovies = test_ds.features["movieId"][tpos]
-    uniq = np.unique(tusers)
+    params = trainer.fit_pairs(users, movies)
+    item_vecs = trainer.item_matrix(params, N_ITEMS)
+    uniq = np.unique([u for u, _ in test_pairs])
     uvecs = trainer.user_vectors(params, uniq)
     scores = np.asarray(jnp.dot(uvecs, item_vecs.T))
-    topk = np.argpartition(-scores, k, axis=1)[:, :k]
-    row_of = {int(u): i for i, u in enumerate(uniq)}
-    hits = sum(1 for u, m in zip(tusers, tmovies) if int(m) in set(topk[row_of[int(u)]]))
-    return hits / max(len(tusers), 1)
+    if serve_pop_alpha:
+        counts = np.bincount(movies, minlength=N_ITEMS)[:N_ITEMS]
+        scores = scores + serve_pop_alpha * np.log(np.maximum(counts, 0.5))
+    return recall_at_k(
+        {int(u): scores[i] for i, u in enumerate(uniq)}, test_pairs, seen_g, k
+    )
 
 
-def item2vec_recall(ratings, test_ds, k: int) -> float:
-    from sparrowrecsys_tpu.embedding.item2vec import Item2VecConfig, train_item2vec
+def eval_item2vec(train, test_pairs, k) -> float:
+    from sparrowrecsys_tpu.embedding.item2vec import (
+        Item2VecConfig,
+        train_item2vec,
+    )
     from sparrowrecsys_tpu.embedding.user_emb import generate_user_emb
-    from sparrowrecsys_tpu.ops.topk import cosine_topk
 
-    vocab, emb = train_item2vec(ratings, Item2VecConfig(epochs=5))
-    uids, uemb = generate_user_emb(ratings, vocab, emb)
-    urow = {int(u): i for i, u in enumerate(uids)}
-    vrow = {int(v): i for i, v in enumerate(vocab)}
+    vocab, emb = train_item2vec(train, Item2VecConfig(epochs=5))
+    uids, uemb = generate_user_emb(train, vocab, emb)
+    urow = {int(x): i for i, x in enumerate(uids)}
+    # scatter item vectors into catalog-id space; items without an
+    # embedding score -inf (can't be retrieved)
+    full = np.full((N_ITEMS, emb.shape[1]), 0.0, np.float32)
+    have = np.zeros(N_ITEMS, bool)
+    for i, v in enumerate(vocab):
+        if 0 <= int(v) < N_ITEMS:
+            full[int(v)] = emb[i]
+            have[int(v)] = True
+    fn = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-9)
+    rows = {}
+    for uu in {u for u, _ in test_pairs}:
+        i = urow.get(int(uu))
+        if i is None:
+            continue
+        q = uemb[i]
+        q = q / max(np.linalg.norm(q), 1e-9)
+        s = fn @ q
+        s[~have] = -np.inf
+        rows[int(uu)] = s
+    return recall_at_k(rows, test_pairs, seen_g, k)
 
-    pos = test_ds.labels > 0.5
-    users = test_ds.features["userId"][pos]
-    movies = test_ds.features["movieId"][pos]
-    keep = [
-        (urow[int(u)], vrow[int(m)])
-        for u, m in zip(users, movies)
-        if int(u) in urow and int(m) in vrow
-    ]
-    if not keep:
-        return float("nan")
-    q = uemb[[r for r, _ in keep]]
-    _, idx = cosine_topk(q, emb, k)
-    idx = np.asarray(idx)
-    hits = sum(1 for i, (_, target) in enumerate(keep) if target in set(idx[i]))
-    return hits / len(keep)
+
+def eval_two_tower_ctr(train, test_pairs, k, epochs, seed=0) -> float:
+    """Strawman: CTR-pointwise-trained towers (the reference's NeuralCF
+    recipe, `NeuralCF.py:83-93`) evaluated as a retriever. Trains on a
+    binary-label view of the train events (label = rating >= 3.5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparrowrecsys_tpu.config import TrainConfig
+    from sparrowrecsys_tpu.data.dataset import EncodedDataset
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.training.loop import Trainer
+
+    feats = {
+        "movieId": train.movie_ids.astype(np.int32),
+        "userId": train.user_ids.astype(np.int32),
+    }
+    labels = (train.ratings >= POS_THRESHOLD).astype(np.float32)
+    ds = EncodedDataset(feats, labels)
+    model = build_model("neuralcf_two_tower")
+    trainer = Trainer(model, TrainConfig(batch_size=2048, epochs=epochs, seed=seed))
+    res = trainer.fit(ds, verbose=False)
+    params = res.params
+    all_movies = jnp.arange(N_ITEMS, dtype=jnp.int32)
+
+    @jax.jit
+    def score_user(params, uid):
+        f = {"movieId": all_movies, "userId": jnp.full((N_ITEMS,), uid, jnp.int32)}
+        return model.apply({"params": params}, f)
+
+    rows = {}
+    for uu in {u for u, _ in test_pairs}:
+        rows[int(uu)] = np.asarray(score_user(params, int(uu)))
+    return recall_at_k(rows, test_pairs, seen_g, k)
+
+
+def eval_popularity(train, test_pairs, k) -> float:
+    counts = np.bincount(train.movie_ids, minlength=N_ITEMS)[:N_ITEMS]
+    s = counts.astype(np.float32)
+    rows = {int(u): s for u, _ in test_pairs}
+    return recall_at_k(rows, test_pairs, seen_g, k)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--ctr-epochs", type=int, default=5)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     from sparrowrecsys_tpu.config import DataConfig
-    from sparrowrecsys_tpu.data.dataset import encode_samples, load_samples_csv
     from sparrowrecsys_tpu.data.movielens import load_ratings
 
     data = DataConfig()
-    train_ds = encode_samples(load_samples_csv(data.path("trainingSamples.csv")))
-    test_ds = encode_samples(load_samples_csv(data.path("testSamples.csv")))
     ratings = load_ratings(data.path(data.ratings_csv))
+    global seen_g
+    train, test_pairs, seen_g = leave_one_out_split(ratings)
+    print(
+        f"leave-one-out: {len(test_pairs)} test users, "
+        f"{len(train)} train events"
+    )
 
-    tt = two_tower_recall(train_ds, test_ds, args.k, args.epochs)
-    print(f"two_tower(ctr) recall@{args.k} = {tt:.4f}")
-    rt = retrieval_two_tower_recall(train_ds, test_ds, args.k, args.epochs)
+    pop = eval_popularity(train, test_pairs, args.k)
+    print(f"popularity           recall@{args.k} = {pop:.4f}")
+    i2v = eval_item2vec(train, test_pairs, args.k)
+    print(f"item2vec             recall@{args.k} = {i2v:.4f}")
+    rt = eval_two_tower_retrieval(train, test_pairs, args.k, args.epochs)
     print(f"two_tower(retrieval) recall@{args.k} = {rt:.4f}")
-    i2v = item2vec_recall(ratings, test_ds, args.k)
-    print(f"item2vec recall@{args.k} = {i2v:.4f}")
+    ctr = eval_two_tower_ctr(train, test_pairs, args.k, args.ctr_epochs)
+    print(f"two_tower(ctr)       recall@{args.k} = {ctr:.4f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
+            import jax
+
             json.dump(
-                {"k": args.k, "two_tower_ctr": tt, "two_tower_retrieval": rt,
-                 "item2vec": i2v}, f,
+                {
+                    "k": args.k,
+                    "protocol": "leave-one-out, seen-items excluded",
+                    "backend": jax.devices()[0].platform,
+                    "popularity": pop,
+                    "item2vec": i2v,
+                    "two_tower_retrieval": rt,
+                    "two_tower_ctr": ctr,
+                    "note": (
+                        "round-1 numbers (item2vec 0.266 / two-tower 0.022) "
+                        "used a leaky asymmetric protocol; see BASELINE.md"
+                    ),
+                },
+                f,
             )
 
 

@@ -31,11 +31,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_DIR = "/root/reference/TFRecModel/src/com/sparrowrecsys/offline/tensorflow"
 MODELS = ["EmbeddingMLP", "WideNDeep", "NeuralCF", "DeepFM", "DeepFM_v2", "DIN", "DIEN"]
 
+NUM = r"([-+\d.enaif]+)"  # float incl. negative/scientific/nan/inf
 FOUR = re.compile(
-    r"Test Loss ([\d.naif]+), Test Accuracy ([\d.naif]+), "
-    r"Test ROC AUC ([\d.naif]+), Test PR AUC ([\d.naif]+)"
+    rf"Test Loss {NUM}, Test Accuracy {NUM}, "
+    rf"Test ROC AUC {NUM}, Test PR AUC {NUM}"
 )
-TWO = re.compile(r"Test Loss ([\d.naif]+),\s+Test ROC AUC ([\d.naif]+)")
+TWO = re.compile(rf"Test Loss {NUM},\s+Test ROC AUC {NUM}")
 
 
 def seed_cache():
@@ -54,9 +55,14 @@ def run_once(model: str, timeout: int = 3600):
     env["TF_CPP_MIN_LOG_LEVEL"] = "2"
     env["CUDA_VISIBLE_DEVICES"] = ""
     t0 = time.time()
+    script = os.path.join(REF_DIR, f"{model}.py")
+    if model == "DIEN":
+        # pandas-3 shim (see tools/_run_dien_ref.py) — script unmodified
+        cmd = [sys.executable, os.path.join(REPO, "tools", "_run_dien_ref.py"), script]
+    else:
+        cmd = [sys.executable, script]
     proc = subprocess.run(
-        [sys.executable, os.path.join(REF_DIR, f"{model}.py")],
-        capture_output=True, text=True, timeout=timeout, env=env,
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
         cwd="/tmp",
     )
     out = proc.stdout + proc.stderr

@@ -13,18 +13,40 @@ async function getJSON(url) {
   return JSON.parse(text);
 }
 
+/* Poster placeholder: the reference ships 971 poster jpgs
+ * (webroot/posters/<movieId>.jpg); this build has no image assets, so
+ * each movie gets a deterministic color block (hue from the id) with the
+ * title initials — same layout slot, graceful without binaries. */
+function posterBlock(movie) {
+  const hue = (movie.movieId * 47) % 360;
+  const initials = (movie.title || "?")
+    .split(/\s+/).slice(0, 2).map(w => w[0]).join("").toUpperCase();
+  const div = document.createElement("div");
+  div.className = "poster";
+  div.style.background =
+    `linear-gradient(160deg, hsl(${hue},45%,35%), hsl(${(hue + 40) % 360},50%,22%))`;
+  div.textContent = initials;
+  return div;
+}
+
 function movieCard(movie) {
   const div = document.createElement("div");
   div.className = "movie-card";
   const year = movie.releaseYear ? ` (${movie.releaseYear})` : "";
-  div.innerHTML = `
-    <a href="movie.html?movieId=${movie.movieId}">
-      <div class="movie-title">${movie.title}${year}</div>
-    </a>
-    <div class="movie-meta">
+  const link = document.createElement("a");
+  link.href = `movie.html?movieId=${movie.movieId}`;
+  link.appendChild(posterBlock(movie));
+  const title = document.createElement("div");
+  title.className = "movie-title";
+  title.textContent = `${movie.title}${year}`;
+  link.appendChild(title);
+  div.appendChild(link);
+  const meta = document.createElement("div");
+  meta.className = "movie-meta";
+  meta.innerHTML = `
       <span class="rating">★ ${movie.averageRating.toFixed(2)}</span>
-      <span class="genres">${movie.genres.join(", ")}</span>
-    </div>`;
+      <span class="genres">${movie.genres.join(", ")}</span>`;
+  div.appendChild(meta);
   return div;
 }
 
@@ -47,13 +69,18 @@ async function renderMoviePage(containerId, relatedId, movieId) {
   const container = document.getElementById(containerId);
   if (!movie) { container.textContent = "Movie not found."; return; }
   const ratings = (movie.topRatings || [])
-    .map(r => `<li>user ${r.rating.userId}: ${r.rating.score}</li>`).join("");
-  container.innerHTML = `
+    .map(r => `<li><span class="avatar" style="background:hsl(${(r.rating.userId * 83) % 360},40%,35%)">${r.rating.userId % 100}</span> user ${r.rating.userId}: ★ ${r.rating.score}</li>`).join("");
+  container.innerHTML = `<div class="detail-flex"></div>`;
+  const flex = container.firstChild;
+  flex.appendChild(posterBlock(movie)).classList.add("poster-lg");
+  const info = document.createElement("div");
+  info.innerHTML = `
     <h1>${movie.title} (${movie.releaseYear})</h1>
     <p>${movie.genres.join(" | ")}</p>
     <p>★ ${movie.averageRating.toFixed(2)} from ${movie.ratingNumber} ratings</p>
     <p>IMDb: ${movie.imdbId} · TMDb: ${movie.tmdbId}</p>
-    <h3>Top ratings</h3><ul>${ratings}</ul>`;
+    <h3>Top ratings</h3><ul class="rating-list">${ratings}</ul>`;
+  flex.appendChild(info);
   const related = await getJSON(`/getsimilarmovie?movieId=${movieId}&size=16&model=emb`);
   const rel = document.getElementById(relatedId);
   rel.innerHTML = "<h2>You may also like</h2>";
@@ -67,10 +94,18 @@ async function renderUserPage(detailId, recId, historyId, userId) {
   const user = await getJSON(`/getuser?id=${userId}`);
   const detail = document.getElementById(detailId);
   if (!user) { detail.textContent = "User not found."; return; }
+  // avatar placeholder: the reference rotates images/avatar/{0-9}.png by
+  // id; a deterministic color disc fills the same slot asset-free.
   detail.innerHTML = `
-    <h1>User ${user.userId}</h1>
-    <p>${user.ratingCount} ratings · avg ${user.averageRating.toFixed(2)}
-       · high ${user.highestRating} · low ${user.lowestRating}</p>`;
+    <div class="detail-flex">
+      <span class="avatar avatar-lg"
+            style="background:hsl(${(user.userId * 83) % 360},40%,35%)">${user.userId % 100}</span>
+      <div>
+        <h1>User ${user.userId}</h1>
+        <p>${user.ratingCount} ratings · avg ${user.averageRating.toFixed(2)}
+           · high ${user.highestRating} · low ${user.lowestRating}</p>
+      </div>
+    </div>`;
   const recs = await getJSON(`/getrecforyou?id=${userId}&size=32&model=emb`);
   const recDiv = document.getElementById(recId);
   recDiv.innerHTML = "<h2>Recommended for you</h2>";
@@ -79,16 +114,26 @@ async function renderUserPage(detailId, recId, historyId, userId) {
   (recs || []).forEach(m => strip.appendChild(movieCard(m)));
   recDiv.appendChild(strip);
 
+  // History with titles: like the reference (recsys.js:132-155), each
+  // rating resolves its movie via /getmovie and renders a full card.
   const hist = document.getElementById(historyId);
   hist.innerHTML = "<h2>Rating history</h2>";
-  const list = document.createElement("ul");
-  for (const wrapped of (user.ratings || []).slice(0, 50)) {
-    const r = wrapped.rating;   // {"rating": {...}} wrapper shape
-    const li = document.createElement("li");
-    li.innerHTML = `<a href="movie.html?movieId=${r.movieId}">movie ${r.movieId}</a>: ${r.score}`;
-    list.appendChild(li);
-  }
-  hist.appendChild(list);
+  const strip2 = document.createElement("div");
+  strip2.className = "movie-strip";
+  hist.appendChild(strip2);
+  const wrapped = (user.ratings || []).slice(0, 20);
+  const hmovies = await Promise.all(
+    wrapped.map(w => getJSON(`/getmovie?id=${w.rating.movieId}`)));
+  wrapped.forEach((w, i) => {
+    const m = hmovies[i];
+    if (!m) return;
+    const card = movieCard(m);
+    const badge = document.createElement("div");
+    badge.className = "movie-meta";
+    badge.innerHTML = `<span class="rating">rated ★ ${w.rating.score}</span>`;
+    card.appendChild(badge);   // {"rating": {...}} wrapper shape
+    strip2.appendChild(card);
+  });
 }
 
 async function renderCollection(containerId, genre, size) {

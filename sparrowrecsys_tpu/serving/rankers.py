@@ -153,3 +153,30 @@ class RestScorer:
         with urllib.request.urlopen(req, timeout=10) as resp:
             out = json.loads(resp.read())
         return np.asarray([p[0] for p in out["predictions"]], np.float32)
+
+    def map_post(self, body_map: dict, timeout: float = 10.0) -> Optional[dict]:
+        """`HttpClient.asyncMapPostRequest` parity (HttpClient.java:65-101):
+        POST every value of `body_map` to the endpoint concurrently and
+        return {key: response text}. Reference semantics preserved: None
+        for an empty/None map, and None (not a partial dict) when any
+        request fails — the Java version catch-alls the whole batch."""
+        if not body_map:
+            return None
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        def post_one(body: str) -> str:
+            req = urllib.request.Request(
+                self.endpoint,
+                data=body.encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read().decode()
+
+        try:
+            with ThreadPoolExecutor(max_workers=min(len(body_map), 16)) as pool:
+                futures = {k: pool.submit(post_one, v) for k, v in body_map.items()}
+                return {k: f.result() for k, f in futures.items()}
+        except Exception:
+            return None

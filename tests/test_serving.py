@@ -259,6 +259,39 @@ class TestSidecar:
         finally:
             sidecar.stop()
 
+    def test_map_post_parity(self, dm):
+        """asyncMapPostRequest parity (HttpClient.java:65-101): concurrent
+        keyed POSTs, keyed responses; None on empty map."""
+        import json
+
+        import jax
+
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.serving.rankers import RestScorer
+        from sparrowrecsys_tpu.serving.sidecar import ScoringSidecar
+
+        model = build_model("neuralcf")
+        feats = {"movieId": np.zeros(2, np.int32), "userId": np.zeros(2, np.int32)}
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        scorer = ModelScorer(model, params, batch_pad=16)
+        sidecar = ScoringSidecar(scorer, port=0)
+        sidecar.start()
+        try:
+            client = RestScorer(
+                f"http://localhost:{sidecar.port}/v1/models/recmodel:predict"
+            )
+            assert client.map_post({}) is None
+            assert client.map_post(None) is None
+            body = lambda u: json.dumps(
+                {"instances": [{"userId": u, "movieId": 1}]}
+            )
+            out = client.map_post({"a": body(1), "b": body(2)})
+            assert set(out) == {"a", "b"}
+            for v in out.values():
+                assert "predictions" in json.loads(v)
+        finally:
+            sidecar.stop()
+
 
 class TestSecurityRegressions:
     """Regressions for the round-1 code-review findings."""

@@ -1,0 +1,155 @@
+"""AsyncHTTPServer protocol tests: keep-alive, sequential requests on one
+connection, HTTP/1.0 close behaviour, malformed requests, 405, and
+concurrent clients. Complements tests/test_serving.py (endpoint logic)."""
+
+import socket
+import threading
+
+import pytest
+
+from sparrowrecsys_tpu.serving.http import AsyncHTTPServer
+
+
+def _handler(path, q):
+    if path == "/echo":
+        return 200, "text/plain", f"echo:{q('x')}".encode()
+    if path == "/boom":
+        raise RuntimeError("handler crash")
+    return 404, "text/plain", b"nope"
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = AsyncHTTPServer(_handler, port=0, workers=4)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _connect(srv):
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
+def _request(sock, target, version="HTTP/1.1", headers=""):
+    sock.sendall(f"GET {target} {version}\r\nHost: t\r\n{headers}\r\n".encode())
+    return _read_response(sock)
+
+
+def _read_response(sock):
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(65536)
+        if not chunk:
+            return None, buf
+        buf += chunk
+    head, _, body = buf.partition(b"\r\n\r\n")
+    length = 0
+    for line in head.split(b"\r\n"):
+        if line.lower().startswith(b"content-length:"):
+            length = int(line.split(b":")[1])
+    while len(body) < length:
+        body += sock.recv(65536)
+    return head, body[:length]
+
+
+def test_keep_alive_sequential_requests(server):
+    s = _connect(server)
+    try:
+        for i in range(5):
+            head, body = _request(s, f"/echo?x={i}")
+            assert b"200" in head.split(b"\r\n")[0]
+            assert body == f"echo:{i}".encode()
+            assert b"keep-alive" in head.lower()
+    finally:
+        s.close()
+
+
+def test_http10_closes_connection(server):
+    s = _connect(server)
+    try:
+        head, body = _request(s, "/echo?x=a", version="HTTP/1.0")
+        assert body == b"echo:a"
+        assert b"connection: close" in head.lower()
+        assert s.recv(1) == b""  # server closed
+    finally:
+        s.close()
+
+
+def test_connection_close_header_honored(server):
+    s = _connect(server)
+    try:
+        head, body = _request(s, "/echo?x=z", headers="Connection: close\r\n")
+        assert body == b"echo:z"
+        assert s.recv(1) == b""
+    finally:
+        s.close()
+
+
+def test_post_rejected_405(server):
+    s = _connect(server)
+    try:
+        s.sendall(b"POST /echo HTTP/1.1\r\nHost: t\r\nContent-Length: 0\r\n\r\n")
+        head, body = _read_response(s)
+        assert b"405" in head.split(b"\r\n")[0]
+    finally:
+        s.close()
+
+
+def test_handler_exception_returns_500(server):
+    s = _connect(server)
+    try:
+        head, body = _request(s, "/boom")
+        assert b"500" in head.split(b"\r\n")[0]
+        # connection stays usable (keep-alive survives handler crashes)
+        head2, body2 = _request(s, "/echo?x=ok")
+        assert body2 == b"echo:ok"
+    finally:
+        s.close()
+
+
+def test_missing_route_404(server):
+    s = _connect(server)
+    try:
+        head, body = _request(s, "/nothing")
+        assert b"404" in head.split(b"\r\n")[0]
+    finally:
+        s.close()
+
+
+def test_garbage_request_closes_cleanly(server):
+    s = _connect(server)
+    try:
+        s.sendall(b"NONSENSE\r\n\r\n")
+        assert s.recv(65536) == b""  # closed without a crash
+    finally:
+        s.close()
+    # server still alive for the next client
+    s2 = _connect(server)
+    try:
+        _, body = _request(s2, "/echo?x=alive")
+        assert body == b"echo:alive"
+    finally:
+        s2.close()
+
+
+def test_concurrent_clients(server):
+    results = []
+
+    def client(i):
+        s = _connect(server)
+        try:
+            for j in range(10):
+                _, body = _request(s, f"/echo?x={i}.{j}")
+                assert body == f"echo:{i}.{j}".encode()
+            results.append(i)
+        finally:
+            s.close()
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == list(range(8))

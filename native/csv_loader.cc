@@ -217,4 +217,88 @@ int64_t load_embeddings(const char* path, int64_t* ids, float* matrix,
   return n;
 }
 
+// Generic typed-column CSV table parser — the native fast path for the
+// reference's 27-column sample schema (load_samples_csv,
+// sparrowrecsys_tpu/data/dataset.py). The Python wrapper reads the
+// header, then passes one `kind` per CSV column:
+//   0 = skip, 1 = int32 (parse as float, cast — "1.0" is legal),
+//   2 = float32, 3 = genre (index into the '\n'-joined vocab, -1 OOV),
+//   4 = int64.
+// Outputs are column-major blocks: the j-th column of a given kind
+// writes at out[j * capacity + row]. Missing/garbage numerics parse as
+// 0 (na_value="0" parity, dataset.py::_parse_float); unknown genre
+// strings -> -1.
+int64_t load_table_csv(const char* path, const int32_t* kinds,
+                       int64_t n_cols, const char* genre_vocab,
+                       int32_t* i32_out, float* f32_out, int32_t* gen_out,
+                       int64_t* i64_out, int64_t capacity) {
+  Buffer buf;
+  if (!read_file(path, &buf)) return -1;
+
+  // split vocab on '\n'
+  const char* gv[64];
+  size_t gvlen[64];
+  int n_genres = 0;
+  {
+    const char* g = genre_vocab;
+    while (*g && n_genres < 64) {
+      const char* s = g;
+      while (*g && *g != '\n') ++g;
+      gv[n_genres] = s;
+      gvlen[n_genres] = static_cast<size_t>(g - s);
+      ++n_genres;
+      if (*g == '\n') ++g;
+    }
+  }
+
+  const char* p = buf.data;
+  const char* end = buf.data + buf.size;
+  skip_to(p, end, '\n');  // header (column kinds were derived from it)
+  int64_t n = 0;
+  while (p < end && n < capacity) {
+    // record field start/length for all n_cols fields of this line
+    int64_t i32_j = 0, f32_j = 0, gen_j = 0, i64_j = 0;
+    bool ok = true;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      const char* fs = p;
+      while (p < end && *p != ',' && *p != '\n' && *p != '\r') ++p;
+      size_t flen = static_cast<size_t>(p - fs);
+      int32_t kind = kinds[c];
+      if (kind == 1 || kind == 2 || kind == 4) {
+        const char* q = fs;
+        double v = flen ? parse_float(q, fs + flen) : 0.0;
+        if (v == -1e300) v = 0.0;  // na/garbage -> 0 (_parse_float parity)
+        if (kind == 1)
+          i32_out[i32_j++ * capacity + n] = static_cast<int32_t>(v);
+        else if (kind == 2)
+          f32_out[f32_j++ * capacity + n] = static_cast<float>(v);
+        else
+          i64_out[i64_j++ * capacity + n] = static_cast<int64_t>(v);
+      } else if (kind == 3) {
+        int32_t idx = -1;
+        for (int g = 0; g < n_genres; ++g) {
+          if (gvlen[g] == flen && memcmp(gv[g], fs, flen) == 0) {
+            idx = g;
+            break;
+          }
+        }
+        gen_out[gen_j++ * capacity + n] = idx;
+      }
+      if (p < end && *p == '\r') ++p;
+      if (c + 1 < n_cols) {
+        if (p < end && *p == ',') {
+          ++p;
+        } else {
+          ok = false;  // short row: skip (ignore_errors parity)
+          break;
+        }
+      }
+    }
+    skip_to(p, end, '\n');
+    if (ok) ++n;
+  }
+  free(buf.data);
+  return n;
+}
+
 }  // extern "C"

@@ -47,9 +47,19 @@ def _parse_float(s: str) -> float:
         return 0.0
 
 
+def load_samples(path: str) -> SampleTable:
+    """Sample-CSV loader with the native C++ fast path (~20x; exact
+    column equality with `load_samples_csv` is asserted in
+    tests/test_native.py) and a transparent pure-Python fallback."""
+    from sparrowrecsys_tpu.native import load_samples_native
+
+    return load_samples_native(path)
+
+
 def load_samples_csv(path: str) -> SampleTable:
     """Parse a reference-format 27-column sample CSV into a SampleTable
-    (genre strings -> vocab indices with -1 OOV/missing; history '' -> 0)."""
+    (genre strings -> vocab indices with -1 OOV/missing; history '' -> 0).
+    Pure-Python reference implementation; prefer `load_samples`."""
     with open(path, newline="", encoding="utf-8") as f:
         reader = csv.reader(f)
         header = next(reader)

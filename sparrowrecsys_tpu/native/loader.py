@@ -69,6 +69,18 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float32),
             ctypes.c_int64, ctypes.c_int64,
         ]
+        if hasattr(lib, "load_table_csv"):
+            lib.load_table_csv.restype = ctypes.c_int64
+            lib.load_table_csv.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int32), ctypes.c_int64,
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.float32),
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.int64),
+                ctypes.c_int64,
+            ]
         _lib = lib
         return _lib
 
@@ -97,6 +109,72 @@ def load_ratings_native(path: str):
         # File vanished/changed between probe and parse: fall back.
         return load_ratings(path)
     return Ratings(u[:n], m[:n], r[:n], t[:n])
+
+
+def load_samples_native(path: str):
+    """27-column sample-table loader: C++ fast path, Python fallback.
+    Returns a `data.schema.SampleTable` identical to
+    `data.dataset.load_samples_csv` (asserted in tests/test_native.py)."""
+    from sparrowrecsys_tpu.config import GENRE_VOCAB
+    from sparrowrecsys_tpu.data.dataset import load_samples_csv
+    from sparrowrecsys_tpu.data.schema import (
+        GENRE_COLUMNS,
+        HISTORY_COLUMNS,
+        SAMPLE_COLUMNS,
+        SampleTable,
+    )
+
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "load_table_csv"):
+        return load_samples_csv(path)
+    with open(path, encoding="utf-8") as f:
+        header = f.readline().strip().split(",")
+    if not set(SAMPLE_COLUMNS) <= set(header):
+        return load_samples_csv(path)
+
+    INT32 = [
+        "movieId", "userId", "label", "releaseYear", "movieRatingCount",
+        "userRatingCount", "userAvgReleaseYear",
+    ] + list(HISTORY_COLUMNS)
+    FLT = [
+        "rating", "movieAvgRating", "movieRatingStddev",
+        "userAvgRating", "userRatingStddev", "userReleaseYearStddev",
+    ]
+    kind_of = {c: 1 for c in INT32}
+    kind_of.update({c: 2 for c in FLT})
+    kind_of.update({c: 3 for c in GENRE_COLUMNS})
+    kind_of["timestamp"] = 4
+    kinds = np.array([kind_of.get(c, 0) for c in header], np.int32)
+
+    cap = lib.count_csv_rows(path.encode())
+    if cap < 0:
+        raise FileNotFoundError(path)
+    cap = max(cap, 1)
+    # column-major blocks, ordered by position in the header
+    i32_cols = [c for c in header if kind_of.get(c) == 1]
+    f32_cols = [c for c in header if kind_of.get(c) == 2]
+    gen_cols = [c for c in header if kind_of.get(c) == 3]
+    i64_cols = [c for c in header if kind_of.get(c) == 4]
+    i32 = np.empty(len(i32_cols) * cap, np.int32)
+    f32 = np.empty(len(f32_cols) * cap, np.float32)
+    gen = np.empty(len(gen_cols) * cap, np.int32)
+    i64 = np.empty(len(i64_cols) * cap, np.int64)
+    vocab = "\n".join(GENRE_VOCAB).encode()
+    n = lib.load_table_csv(
+        path.encode(), kinds, len(header), vocab, i32, f32, gen, i64, cap
+    )
+    if n < 0:
+        return load_samples_csv(path)
+    cols: Dict[str, np.ndarray] = {}
+    for j, c in enumerate(i32_cols):
+        cols[c] = i32[j * cap:j * cap + n].copy()
+    for j, c in enumerate(f32_cols):
+        cols[c] = f32[j * cap:j * cap + n].copy()
+    for j, c in enumerate(gen_cols):
+        cols[c] = gen[j * cap:j * cap + n].copy()
+    for j, c in enumerate(i64_cols):
+        cols[c] = i64[j * cap:j * cap + n].copy()
+    return SampleTable(cols)
 
 
 def load_embeddings_native(path: str) -> Dict[int, np.ndarray]:

@@ -41,7 +41,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from sparrowrecsys_tpu.config import DataConfig, TrainConfig, config_from_json
-    from sparrowrecsys_tpu.data.dataset import encode_samples, load_samples_csv
+    from sparrowrecsys_tpu.data.dataset import encode_samples, load_samples
     from sparrowrecsys_tpu.data.negatives import add_dien_negatives
     from sparrowrecsys_tpu.models import build_model
     from sparrowrecsys_tpu.models.dien import dien_loss_fn
@@ -54,8 +54,8 @@ def main() -> None:
     )
     train_csv = args.train or data.path("trainingSamples.csv")
     test_csv = args.test or data.path("testSamples.csv")
-    train_ds = encode_samples(load_samples_csv(train_csv))
-    test_ds = encode_samples(load_samples_csv(test_csv))
+    train_ds = encode_samples(load_samples(train_csv))
+    test_ds = encode_samples(load_samples(test_csv))
     if args.standardize:
         from sparrowrecsys_tpu.data.dataset import standardize
 

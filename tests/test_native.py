@@ -1,5 +1,7 @@
 """Native C++ loader parity tests (skipped when no toolchain)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -85,3 +87,40 @@ def test_exponent_floats_parse(tmp_path):
     path.write_text("7:1.5e-3 -2E2 3e+1\n")
     out = load_embeddings_native(str(path))
     np.testing.assert_allclose(out[7], [0.0015, -200.0, 30.0], rtol=1e-6)
+
+
+@needs_native
+def test_samples_native_matches_python(repo_data_root):
+    """load_samples_native must produce byte-identical columns to the
+    pure-Python load_samples_csv on the 22,440-row golden file."""
+    from sparrowrecsys_tpu.data.dataset import load_samples_csv
+    from sparrowrecsys_tpu.native import load_samples_native
+
+    path = os.path.join(repo_data_root, "goldenTestSamples.csv")
+    a = load_samples_native(path)
+    b = load_samples_csv(path)
+    assert len(a) == len(b) == 22440
+    assert set(a.columns) == set(b.columns)
+    for k in b.columns:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert a[k].dtype == b[k].dtype, k
+
+
+@needs_native
+def test_samples_native_short_rows_skipped(tmp_path):
+    """Rows with missing fields are skipped (ignore_errors parity); empty
+    genre/history fields parse to -1 / 0."""
+    from sparrowrecsys_tpu.data.schema import SAMPLE_COLUMNS
+    from sparrowrecsys_tpu.native import load_samples_native
+
+    header = ",".join(SAMPLE_COLUMNS)
+    good = "1,2,3.5,1000,1,1995,Action,,,10,3.50,0.5,0,0,0,0,0,5,1995,0.1,3.2,0.4,Comedy,,,,"
+    short = "9,9,1.0"
+    path = tmp_path / "s.csv"
+    path.write_text(header + "\n" + good + "\n" + short + "\n")
+    t = load_samples_native(str(path))
+    assert len(t) == 1
+    assert t["movieId"][0] == 1 and t["userId"][0] == 2
+    assert t["movieGenre1"][0] >= 0      # "Action" resolves
+    assert t["movieGenre2"][0] == -1     # empty genre -> OOV
+    assert t["userRatedMovie1"][0] == 0  # empty history -> 0

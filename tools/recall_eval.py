@@ -133,7 +133,12 @@ def eval_item2vec(train, test_pairs, k) -> float:
     )
     from sparrowrecsys_tpu.embedding.user_emb import generate_user_emb
 
-    vocab, emb = train_item2vec(train, Item2VecConfig(epochs=5))
+    # parity config (dim 10, window 5, 10 epochs — Embedding.scala:130-133).
+    # Swept 2026-08-17: e5 0.022 / e10 0.040 / e30 0.023 (overfits), dim-32
+    # and extra negatives don't help; item-kNN scoring with a popularity
+    # blend reaches 0.077 — every variant stays under the 0.090 popularity
+    # floor on this sample.
+    vocab, emb = train_item2vec(train, Item2VecConfig())
     uids, uemb = generate_user_emb(train, vocab, emb)
     urow = {int(x): i for i, x in enumerate(uids)}
     # scatter item vectors into catalog-id space; items without an

@@ -105,11 +105,21 @@ def bench_serving() -> dict:
     server.start()
     uids = [int(u) for u in dm.user_emb_ids[:64]]
     base = f"http://127.0.0.1:{server.port}"
-    # warm (compile the cosine scorer)
+    # Warm (compile the cosine scorer). On the TPU backend the first
+    # request triggers a remote compile that can take minutes through the
+    # axon tunnel (CLAUDE.md), so the warmup timeout must be generous and
+    # a socket timeout here means "still compiling", not "dead" — retry.
     for uid in uids[:3]:
-        urllib.request.urlopen(
-            f"{base}/getrecforyou?id={uid}&size=32&model=emb", timeout=60
-        ).read()
+        for attempt in range(3):
+            try:
+                urllib.request.urlopen(
+                    f"{base}/getrecforyou?id={uid}&size=32&model=emb",
+                    timeout=600,
+                ).read()
+                break
+            except TimeoutError:
+                if attempt == 2:
+                    raise
     res = run_load(
         f"{base}/getrecforyou?id={{id}}&size=32&model=emb",
         procs=4, conns=8, seconds=5.0, ids=uids,
@@ -204,7 +214,13 @@ def main() -> None:
         return f, labels
 
     data, labels_d = gen_epoch(jax.random.PRNGKey(0))
-    sample_host = {k: np.asarray(v[:2]) for k, v in data.items()}
+    # Init sample built host-side: the shapes/dtypes are statically known,
+    # and 22 eager v[:2] slices + transfers would cost ~10 s of tunnel
+    # round-trips (~0.4 s per eager primitive on this backend).
+    sample_host = {
+        k: np.zeros((2,), np.int32 if v.dtype == jnp.int32 else np.float32)
+        for k, v in data.items()
+    }
 
     trainer = Trainer(model, TrainConfig(batch_size=BATCH, epochs=1))
     trainer._build_steps()

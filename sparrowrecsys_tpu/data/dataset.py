@@ -65,6 +65,11 @@ def load_samples_csv(path: str) -> SampleTable:
         header = next(reader)
         rows = list(reader)
     col_pos = {c: header.index(c) for c in SAMPLE_COLUMNS if c in header}
+    # Skip truncated rows (e.g. an interrupted feature-job write) exactly
+    # like the native parser does, so the "transparent fallback" really is
+    # column-equal with load_samples (tests/test_native.py).
+    width = max(col_pos.values()) + 1
+    rows = [r for r in rows if len(r) >= width]
     n = len(rows)
     cols: Dict[str, np.ndarray] = {}
 

@@ -70,8 +70,11 @@ class AsyncHTTPServer:
                         and b"connection: keep-alive" not in lower)
                 )
                 if method != "GET":
-                    await self._respond(writer, 405, "text/plain",
-                                        b"GET only", close=True)
+                    try:
+                        await self._respond(writer, 405, "text/plain",
+                                            b"GET only", close=True)
+                    except (ConnectionResetError, BrokenPipeError, OSError):
+                        pass
                     break
                 parsed = urlparse(target)
                 qs = parse_qs(parsed.query)
@@ -85,7 +88,16 @@ class AsyncHTTPServer:
                     )
                 except Exception:
                     status, ctype, body = 500, "text/plain", b""
-                await self._respond(writer, status, ctype, body, close=close)
+                # The peer may vanish mid-write (load generators close all
+                # sockets at their deadline; warmup clients abandon slow
+                # first-compile requests) — a dead socket ends the
+                # connection task quietly instead of leaking an
+                # unretrieved-exception traceback from drain().
+                try:
+                    await self._respond(writer, status, ctype, body,
+                                        close=close)
+                except (ConnectionResetError, BrokenPipeError, OSError):
+                    break
                 if close:
                     break
         finally:
@@ -131,13 +143,19 @@ class AsyncHTTPServer:
             self._loop.close()
 
     def start(self, block: bool = False) -> None:
+        # Always bind on the loop thread first so the OS-assigned port is
+        # observable (self.port) BEFORE block= decides whether to wait —
+        # blocking inline would make `self.port` unknowable for port=0.
+        self._thread = threading.Thread(target=self._run_loop, daemon=True)
+        self._thread.start()
+        if not self._ready.wait(timeout=10):
+            raise RuntimeError("HTTP server failed to start")
         if block:
-            self._run_loop()
-        else:
-            self._thread = threading.Thread(target=self._run_loop, daemon=True)
-            self._thread.start()
-            if not self._ready.wait(timeout=10):
-                raise RuntimeError("HTTP server failed to start")
+            self._thread.join()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
 
     def stop(self) -> None:
         if self._loop is None:

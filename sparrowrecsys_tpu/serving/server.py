@@ -130,8 +130,12 @@ class RecSysServer:
     # ---- server lifecycle ------------------------------------------------
     def start(self, block: bool = False) -> None:
         self._httpd = AsyncHTTPServer(self.handle, port=self.port)
-        self._httpd.start(block=block)
+        # Bind first (non-blocking) so the OS-assigned port is recorded
+        # even for block=True / PORT=0, then wait if asked.
+        self._httpd.start(block=False)
         self.port = self._httpd.port
+        if block:
+            self._httpd.join()
 
     def stop(self) -> None:
         if self._httpd:
@@ -165,8 +169,9 @@ def main() -> None:
 
         scorer = ModelScorer.from_checkpoint(build_model("neuralcf"), args.model_dir)
     server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test)
+    server.start(block=False)  # bind first so the printed port is the real one
     print(f"Sparrow RecSys (TPU) serving on http://localhost:{server.port}/")
-    server.start(block=True)
+    server._httpd.join()
 
 
 def _first_existing(data, *names):

@@ -6,6 +6,14 @@
  * /getrecforyou), including the {"rating": {...}} wrapper on rating lists.
  */
 
+/* Escape catalog strings before any innerHTML interpolation — titles
+ * contain '&' and could contain '<' (consistent with movieCard's
+ * textContent hardening). */
+function esc(s) {
+  return String(s).replace(/&/g, "&amp;").replace(/</g, "&lt;")
+                  .replace(/>/g, "&gt;").replace(/"/g, "&quot;");
+}
+
 async function getJSON(url) {
   const resp = await fetch(url);
   const text = await resp.text();
@@ -45,7 +53,7 @@ function movieCard(movie) {
   meta.className = "movie-meta";
   meta.innerHTML = `
       <span class="rating">★ ${movie.averageRating.toFixed(2)}</span>
-      <span class="genres">${movie.genres.join(", ")}</span>`;
+      <span class="genres">${esc(movie.genres.join(", "))}</span>`;
   div.appendChild(meta);
   return div;
 }
@@ -56,7 +64,7 @@ async function addGenreRow(containerId, genre, size) {
   const container = document.getElementById(containerId);
   const row = document.createElement("section");
   row.className = "genre-row";
-  row.innerHTML = `<h2><a href="collection.html?genre=${encodeURIComponent(genre)}">${genre}</a></h2>`;
+  row.innerHTML = `<h2><a href="collection.html?genre=${encodeURIComponent(genre)}">${esc(genre)}</a></h2>`;
   const strip = document.createElement("div");
   strip.className = "movie-strip";
   (movies || []).forEach(m => strip.appendChild(movieCard(m)));
@@ -75,8 +83,8 @@ async function renderMoviePage(containerId, relatedId, movieId) {
   flex.appendChild(posterBlock(movie)).classList.add("poster-lg");
   const info = document.createElement("div");
   info.innerHTML = `
-    <h1>${movie.title} (${movie.releaseYear})</h1>
-    <p>${movie.genres.join(" | ")}</p>
+    <h1>${esc(movie.title)} (${movie.releaseYear})</h1>
+    <p>${esc(movie.genres.join(" | "))}</p>
     <p>★ ${movie.averageRating.toFixed(2)} from ${movie.ratingNumber} ratings</p>
     <p>IMDb: ${movie.imdbId} · TMDb: ${movie.tmdbId}</p>
     <h3>Top ratings</h3><ul class="rating-list">${ratings}</ul>`;
@@ -140,7 +148,7 @@ async function renderCollection(containerId, genre, size) {
   const movies = await getJSON(
     `/getrecommendation?genre=${encodeURIComponent(genre)}&size=${size}&sortby=rating`);
   const container = document.getElementById(containerId);
-  container.innerHTML = `<h1>${genre}</h1>`;
+  container.innerHTML = `<h1>${esc(genre)}</h1>`;
   const grid = document.createElement("div");
   grid.className = "movie-grid";
   (movies || []).forEach(m => grid.appendChild(movieCard(m)));

@@ -153,3 +153,41 @@ def test_concurrent_clients(server):
     for t in threads:
         t.join()
     assert sorted(results) == list(range(8))
+
+
+def test_blocking_start_exposes_bound_port():
+    """start(block=True) must still record the OS-assigned port (it binds
+    on the loop thread first, then joins) — with PORT=0 the old inline
+    run_loop made the port unknowable."""
+    srv = AsyncHTTPServer(_handler, port=0, workers=2)
+    t = threading.Thread(target=srv.start, kwargs={"block": True}, daemon=True)
+    t.start()
+    assert srv._ready.wait(timeout=10)
+    assert srv.port != 0
+    s = _connect(srv)
+    try:
+        head, body = _request(s, "/echo?x=1")
+        assert b"200" in head.split(b"\r\n")[0] and body == b"echo:1"
+    finally:
+        s.close()
+        srv.stop()
+        t.join(timeout=5)
+
+
+def test_client_disconnect_mid_response_is_quiet(server):
+    """A peer that vanishes right after sending a request (load generators
+    at their deadline) must not leave an unretrieved-exception traceback —
+    the connection task swallows the dead-socket write."""
+    for _ in range(8):
+        s = _connect(server)
+        s.sendall(b"GET /echo?x=1 HTTP/1.1\r\nHost: t\r\n\r\n")
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     b"\x01\x00\x00\x00\x00\x00\x00\x00")  # RST on close
+        s.close()
+    # server must still serve afterwards
+    s = _connect(server)
+    try:
+        head, body = _request(s, "/echo?x=2")
+        assert body == b"echo:2"
+    finally:
+        s.close()

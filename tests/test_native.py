@@ -124,3 +124,19 @@ def test_samples_native_short_rows_skipped(tmp_path):
     assert t["movieGenre1"][0] >= 0      # "Action" resolves
     assert t["movieGenre2"][0] == -1     # empty genre -> OOV
     assert t["userRatedMovie1"][0] == 0  # empty history -> 0
+
+
+def test_samples_python_fallback_short_rows_skipped(tmp_path):
+    """The pure-Python fallback must skip truncated rows exactly like the
+    native parser (transparent-fallback equality)."""
+    from sparrowrecsys_tpu.data.dataset import load_samples_csv
+    from sparrowrecsys_tpu.data.schema import SAMPLE_COLUMNS
+
+    header = ",".join(SAMPLE_COLUMNS)
+    good = "1,2,3.5,1000,1,1995,Action,,,10,3.50,0.5,0,0,0,0,0,5,1995,0.1,3.2,0.4,Comedy,,,,"
+    short = "9,9,1.0"
+    path = tmp_path / "s.csv"
+    path.write_text(header + "\n" + good + "\n" + short + "\n")
+    t = load_samples_csv(str(path))
+    assert len(t) == 1
+    assert t["movieId"][0] == 1 and t["userId"][0] == 2

@@ -35,9 +35,7 @@ B, D, K = 8192, 10, 64
 V_BIG = 30001
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * leaf.ndim])
+from sparrowrecsys_tpu.training.loop import hard_sync as _sync  # noqa: E402
 
 
 def timeit(fn, *args, iters=5, warmup=2):

@@ -79,14 +79,18 @@ def recall_at_k(score_rows, test_pairs, seen, k: int) -> float:
         if s is None:
             continue
         s = s.copy()
-        s[seen.get(int(uu), [])] = -np.inf
+        sn = seen.get(int(uu))
+        if sn is not None:
+            # ids outside the catalog range (full MovieLens vs the vendored
+            # 1001-id cut) can't be recommended anyway — don't index with them
+            s[sn[sn < len(s)]] = -np.inf
         top = np.argpartition(-s, k)[:k]
         hits += int(mm in set(top.tolist()))
         total += 1
     return hits / max(total, 1)
 
 
-def eval_two_tower_retrieval(train, test_pairs, k, epochs, seed=0,
+def eval_two_tower_retrieval(train, test_pairs, seen, k, epochs, seed=0,
                              logq=True, serve_pop_alpha=1.0) -> float:
     """logQ-corrected in-batch-softmax towers. The training correction
     subtracts log p(item), so the learned dot estimates popularity-free
@@ -122,11 +126,11 @@ def eval_two_tower_retrieval(train, test_pairs, k, epochs, seed=0,
         counts = np.bincount(movies, minlength=N_ITEMS)[:N_ITEMS]
         scores = scores + serve_pop_alpha * np.log(np.maximum(counts, 0.5))
     return recall_at_k(
-        {int(u): scores[i] for i, u in enumerate(uniq)}, test_pairs, seen_g, k
+        {int(u): scores[i] for i, u in enumerate(uniq)}, test_pairs, seen, k
     )
 
 
-def eval_item2vec(train, test_pairs, k) -> float:
+def eval_item2vec(train, test_pairs, seen, k) -> float:
     from sparrowrecsys_tpu.embedding.item2vec import (
         Item2VecConfig,
         train_item2vec,
@@ -160,10 +164,10 @@ def eval_item2vec(train, test_pairs, k) -> float:
         s = fn @ q
         s[~have] = -np.inf
         rows[int(uu)] = s
-    return recall_at_k(rows, test_pairs, seen_g, k)
+    return recall_at_k(rows, test_pairs, seen, k)
 
 
-def eval_two_tower_ctr(train, test_pairs, k, epochs, seed=0) -> float:
+def eval_two_tower_ctr(train, test_pairs, seen, k, epochs, seed=0) -> float:
     """Strawman: CTR-pointwise-trained towers (the reference's NeuralCF
     recipe, `NeuralCF.py:83-93`) evaluated as a retriever. Trains on a
     binary-label view of the train events (label = rating >= 3.5)."""
@@ -195,14 +199,14 @@ def eval_two_tower_ctr(train, test_pairs, k, epochs, seed=0) -> float:
     rows = {}
     for uu in {u for u, _ in test_pairs}:
         rows[int(uu)] = np.asarray(score_user(params, int(uu)))
-    return recall_at_k(rows, test_pairs, seen_g, k)
+    return recall_at_k(rows, test_pairs, seen, k)
 
 
-def eval_popularity(train, test_pairs, k) -> float:
+def eval_popularity(train, test_pairs, seen, k) -> float:
     counts = np.bincount(train.movie_ids, minlength=N_ITEMS)[:N_ITEMS]
     s = counts.astype(np.float32)
     rows = {int(u): s for u, _ in test_pairs}
-    return recall_at_k(rows, test_pairs, seen_g, k)
+    return recall_at_k(rows, test_pairs, seen, k)
 
 
 def main() -> None:
@@ -218,20 +222,19 @@ def main() -> None:
 
     data = DataConfig()
     ratings = load_ratings(data.path(data.ratings_csv))
-    global seen_g
-    train, test_pairs, seen_g = leave_one_out_split(ratings)
+    train, test_pairs, seen = leave_one_out_split(ratings)
     print(
         f"leave-one-out: {len(test_pairs)} test users, "
         f"{len(train)} train events"
     )
 
-    pop = eval_popularity(train, test_pairs, args.k)
+    pop = eval_popularity(train, test_pairs, seen, args.k)
     print(f"popularity           recall@{args.k} = {pop:.4f}")
-    i2v = eval_item2vec(train, test_pairs, args.k)
+    i2v = eval_item2vec(train, test_pairs, seen, args.k)
     print(f"item2vec             recall@{args.k} = {i2v:.4f}")
-    rt = eval_two_tower_retrieval(train, test_pairs, args.k, args.epochs)
+    rt = eval_two_tower_retrieval(train, test_pairs, seen, args.k, args.epochs)
     print(f"two_tower(retrieval) recall@{args.k} = {rt:.4f}")
-    ctr = eval_two_tower_ctr(train, test_pairs, args.k, args.ctr_epochs)
+    ctr = eval_two_tower_ctr(train, test_pairs, seen, args.k, args.ctr_epochs)
     print(f"two_tower(ctr)       recall@{args.k} = {ctr:.4f}")
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -121,6 +121,15 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-7          # Keras Adam epsilon (TF default), not optax's 1e-8
     shuffle_each_epoch: bool = True
+    #: "exact" permutes rows (identical statistics to the reference's
+    #: full shuffle); "blocks" permutes fixed blocks of `shuffle_block`
+    #: rows — contiguous gathers with zero TPU tile amplification,
+    #: measured ~+6% step throughput over exact (tools/step_exp7.py) at
+    #: the cost of approximate shuffling (the reference's own
+    #: `make_csv_dataset` buffer shuffle is also approximate,
+    #: `EmbeddingMLP.py:14-22`). Opt-in; parity bands police quality.
+    shuffle_mode: str = "exact"
+    shuffle_block: int = 1024
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     checkpoint_keep: int = 5        # reference keeps numbered versions 001..005 (MLPRec)

@@ -120,36 +120,63 @@ class Trainer:
             entirely on device via one `lax.scan` dispatch. Per-epoch
             host->device traffic is ONE PRNG key — dispatch/transfer
             latency (severe over remote-attached TPUs, real everywhere)
-            amortizes to zero, and XLA overlaps the gather of batch t+1
-            with the update of batch t.
+            amortizes to zero.
 
-            Feature columns are PACKED into dense [N, C] matrices (one
-            int32, one float32) before the scan so the per-step shuffle
-            gather is one wide-row gather per dtype. Gathering 28 narrow
-            [N] columns separately is tile-amplified ~8-100x on TPU (a
-            4-byte random access reads a whole (8,128) tile); measured on
-            v5e it was ~0.7 ms/step of the DeepFM budget — half the full
-            step (tools/step_exp3.py: 1.53 -> 0.80 ms/step without it)."""
+            Scalar feature columns are PACKED into dense [N, C] matrices
+            (one int32, one float32; labels ride the float matrix) and
+            the epoch permutation is applied ONCE to those matrices
+            before the scan; the scan then consumes contiguous
+            [steps, batch, C] xs slices. Batch composition is
+            bit-identical to gathering `permutation(key, n)` rows per
+            step, but the random row gather — which reads a whole
+            (8, 128) tile per ~100 B row on TPU — leaves the step's
+            critical path. Measured on v5e (tools/step_exp7.py, batch
+            65536): 10.24 -> 11.86M ex/s (+16%) over the in-scan gather,
+            itself worth +51% over per-column gathers (tools/step_exp3).
+            `shuffle_mode="blocks"` additionally permutes fixed
+            `shuffle_block`-row blocks instead of rows (contiguous
+            gathers, zero tile waste, ~+6% more) at the cost of
+            approximate shuffling — opt-in, reference's buffer shuffle
+            is also approximate (`EmbeddingMLP.py:14-22`)."""
             steps = -(-n // batch_size)
             padded = steps * batch_size
-            order = (
-                jax.random.permutation(key, n) if shuffle else jnp.arange(n)
-            ).astype(jnp.int32)
-            order = jnp.pad(order, (0, padded - n))
-            mask_all = (jnp.arange(padded) < n).astype(jnp.float32)
-            idx_all = order.reshape(steps, batch_size)
-            mask_all = mask_all.reshape(steps, batch_size)
+            block = self.config.shuffle_block
+            use_blocks = (
+                shuffle
+                and self.config.shuffle_mode == "blocks"
+                and padded % block == 0
+            )
 
-            if self.plan is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            if use_blocks:
+                nb = padded // block
+                border = jax.random.permutation(key, nb).astype(jnp.int32)
 
-                s = NamedSharding(
-                    self.plan.mesh, P(None, self.plan.data_axis)
-                )
-                idx_all = jax.lax.with_sharding_constraint(idx_all, s)
-                mask_all = jax.lax.with_sharding_constraint(mask_all, s)
+                def perm(x):
+                    pad = ((0, padded - n),) + ((0, 0),) * (x.ndim - 1)
+                    xp = jnp.pad(x, pad)
+                    xb = xp.reshape((nb, block) + x.shape[1:])
+                    return jnp.take(xb, border, axis=0).reshape(
+                        (padded,) + x.shape[1:]
+                    )
 
-            # Pack scalar columns by dtype; rare non-1D columns stay as-is.
+                # Pad rows land inside permuted blocks — permute the mask
+                # with the data (perm pads its n-length input) so it
+                # stays row-aligned.
+                mask_flat = perm(jnp.ones((n,), jnp.float32))
+            else:
+                order = (
+                    jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+                ).astype(jnp.int32)
+                order = jnp.pad(order, (0, padded - n))
+
+                def perm(x):
+                    return jnp.take(x, order, axis=0)
+
+                # Pad positions sit at the tail of the (padded) order, so
+                # the unpermuted tail mask stays aligned.
+                mask_flat = (jnp.arange(padded) < n).astype(jnp.float32)
+
+            # Pack scalar columns by dtype; rare non-1D columns ride along.
             int_cols = [
                 k for k, v in data.items()
                 if v.ndim == 1 and jnp.issubdtype(v.dtype, jnp.integer)
@@ -159,35 +186,52 @@ class Trainer:
                 if v.ndim == 1 and not jnp.issubdtype(v.dtype, jnp.integer)
             ]
             other = {k: v for k, v in data.items() if v.ndim != 1}
-            int_mat = (
-                jnp.stack([data[k].astype(jnp.int32) for k in int_cols], axis=1)
-                if int_cols else None
-            )
-            # labels ride the float matrix, so it always exists
-            flt_mat = jnp.stack(
-                [data[k].astype(jnp.float32) for k in flt_cols]
-                + [labels_all.astype(jnp.float32)],
-                axis=1,
-            )
+            xs = {
+                "f": perm(
+                    jnp.stack(
+                        [data[k].astype(jnp.float32) for k in flt_cols]
+                        + [labels_all.astype(jnp.float32)],
+                        axis=1,
+                    )
+                ).reshape(steps, batch_size, len(flt_cols) + 1),
+                "m": mask_flat.reshape(steps, batch_size),
+                "o": {
+                    k: perm(v).reshape((steps, batch_size) + v.shape[1:])
+                    for k, v in other.items()
+                },
+            }
+            if int_cols:
+                xs["i"] = perm(
+                    jnp.stack(
+                        [data[k].astype(jnp.int32) for k in int_cols], axis=1
+                    )
+                ).reshape(steps, batch_size, len(int_cols))
+
+            if self.plan is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def constrain(x):
+                    spec = P(None, self.plan.data_axis, *((None,) * (x.ndim - 2)))
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.plan.mesh, spec)
+                    )
+
+                xs = jax.tree.map(constrain, xs)
 
             def body(carry, x):
                 p, o, m = carry
-                idx, mask = x
                 feats = {}
-                if int_mat is not None:
-                    rows = jnp.take(int_mat, idx, axis=0)
+                if int_cols:
                     for j, k in enumerate(int_cols):
-                        feats[k] = rows[:, j]
-                frows = jnp.take(flt_mat, idx, axis=0)
+                        feats[k] = x["i"][:, j]
                 for j, k in enumerate(flt_cols):
-                    feats[k] = frows[:, j]
-                labels = frows[:, -1]
-                for k, v in other.items():
-                    feats[k] = jnp.take(v, idx, axis=0)
-                return train_step(p, o, m, feats, labels, mask), None
+                    feats[k] = x["f"][:, j]
+                labels = x["f"][:, -1]
+                feats.update(x["o"])
+                return train_step(p, o, m, feats, labels, x["m"]), None
 
             (params, opt_state, mstate), _ = jax.lax.scan(
-                body, (params, opt_state, mstate), (idx_all, mask_all)
+                body, (params, opt_state, mstate), xs
             )
             return params, opt_state, mstate
 

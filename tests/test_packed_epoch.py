@@ -59,3 +59,82 @@ def test_packed_epoch_handles_2d_columns():
     trainer = Trainer(SeqModel(), TrainConfig(batch_size=64, epochs=2, seed=0))
     res = trainer.fit(ds, verbose=False)
     assert np.isfinite([h["loss"] for h in res.history]).all()
+
+
+def test_exact_shuffle_matches_per_step_gather():
+    """The pre-permuted scan-xs epoch must produce the SAME trajectory as
+    manually gathering `permutation(key, n)` rows batch-by-batch through
+    `_train_step` — i.e. the restructuring (tools/step_exp7.py) changed
+    the schedule, not the math. Includes a padded final batch."""
+    from sparrowrecsys_tpu.ops import metrics as M
+
+    n, batch = 300, 128
+    ds = synthetic_ctr_dataset(n)
+    model = build_model("embedding_mlp")
+    cfg = TrainConfig(batch_size=batch, epochs=1, seed=0)
+    key = jax.random.PRNGKey(7)
+
+    t1 = Trainer(model, cfg)
+    t1._build_steps()
+    params1 = t1.init_params(ds.features)
+    data = {k: jnp.asarray(v) for k, v in ds.features.items()}
+    labels = jnp.asarray(ds.labels)
+    p1, _, m1 = t1._train_epoch(
+        params1, t1.tx.init(params1), M.init_metrics(), data, labels, key,
+        n=n, batch_size=batch, shuffle=True,
+    )
+
+    t2 = Trainer(model, cfg)
+    t2._build_steps()
+    params2 = t2.init_params(ds.features)
+    steps = -(-n // batch)
+    padded = steps * batch
+    order = np.pad(
+        np.asarray(jax.random.permutation(key, n)).astype(np.int64),
+        (0, padded - n),
+    )
+    mask_all = (np.arange(padded) < n).astype(np.float32)
+    carry = (params2, t2.tx.init(params2), M.init_metrics())
+    for s in range(steps):
+        idx = order[s * batch:(s + 1) * batch]
+        fb = {k: jnp.asarray(v[idx]) for k, v in ds.features.items()}
+        lb = jnp.asarray(ds.labels[idx])
+        mb = jnp.asarray(mask_all[s * batch:(s + 1) * batch])
+        carry = t2._train_step(*carry, fb, lb, mb)
+
+    assert float(m1.count) == n == float(carry[2].count)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1),
+        jax.tree_util.tree_leaves(carry[0]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_blocks_shuffle_mode():
+    """Opt-in block shuffle: pad rows land INSIDE permuted blocks, so the
+    mask must travel with the data — masked example count stays n. A
+    block size that doesn't divide the padded epoch falls back to exact."""
+    from sparrowrecsys_tpu.ops import metrics as M
+
+    n, batch = 300, 128  # padded epoch 384
+    ds = synthetic_ctr_dataset(n)
+    model = build_model("embedding_mlp")
+    data = {k: jnp.asarray(v) for k, v in ds.features.items()}
+    labels = jnp.asarray(ds.labels)
+    for block in (64, 100):  # 384 % 64 == 0 (blocks); 384 % 100 != 0 (fallback)
+        t = Trainer(
+            model,
+            TrainConfig(
+                batch_size=batch, epochs=1, seed=0,
+                shuffle_mode="blocks", shuffle_block=block,
+            ),
+        )
+        t._build_steps()
+        params = t.init_params(ds.features)
+        p, _, m = t._train_epoch(
+            params, t.tx.init(params), M.init_metrics(), data, labels,
+            jax.random.PRNGKey(3), n=n, batch_size=batch, shuffle=True,
+        )
+        assert float(m.count) == n, block
+        em = M.finalize_metrics(m)
+        assert np.isfinite(float(em["loss"])), block

@@ -139,7 +139,13 @@ def _sgns_epoch(
 ):
     """One dispatch per epoch: on-device pair shuffle + `lax.scan` over all
     batches (same latency-amortization design as `training.loop`'s
-    train_epoch). lr decays linearly with the global step."""
+    train_epoch). lr decays linearly with the global step.
+
+    The epoch permutation is applied ONCE to the (center, context) pair
+    arrays, which the scan then consumes as contiguous xs slices — the
+    same restructuring as train_epoch (tools/step_exp7.py): a random [B]
+    gather inside the scan reads a whole (8, 128) tile per 4-byte index
+    on TPU, so it belongs outside the step's critical path."""
     n = centers.shape[0]
     steps = max(n // batch_size, 1)
     kperm, kscan = jax.random.split(key)
@@ -147,21 +153,20 @@ def _sgns_epoch(
     pad = steps * batch_size - n if steps * batch_size > n else 0
     if pad:
         perm = jnp.concatenate([perm, perm[:pad]])
-    perm = perm[: steps * batch_size].reshape(steps, batch_size)
+    perm = perm[: steps * batch_size]
+    c_all = jnp.take(centers, perm, axis=0).reshape(steps, batch_size)
+    x_all = jnp.take(contexts, perm, axis=0).reshape(steps, batch_size)
     step_keys = jax.random.split(kscan, steps)
 
     def body(carry, x):
         ei, eo, t = carry
-        idx, k = x
+        c, cx, k = x
         lr = lr0 * jnp.maximum(1.0 - t / total_steps, 1e-4)
-        ei, eo, _ = _sgns_math(
-            ei, eo, jnp.take(centers, idx, axis=0),
-            jnp.take(contexts, idx, axis=0), neg_cdf, k, negatives, lr,
-        )
+        ei, eo, _ = _sgns_math(ei, eo, c, cx, neg_cdf, k, negatives, lr)
         return (ei, eo, t + 1.0), None
 
     (emb_in, emb_out, _), _ = jax.lax.scan(
-        body, (emb_in, emb_out, step0), (perm, step_keys)
+        body, (emb_in, emb_out, step0), (c_all, x_all, step_keys)
     )
     return emb_in, emb_out
 

@@ -128,24 +128,29 @@ class RetrievalTrainer:
 
         @jax.jit
         def epoch(params, opt_state, users_all, movies_all, key):
-            perm = jax.random.permutation(key, n)[: steps * bs].reshape(steps, bs)
+            # Permute the pair arrays once and scan contiguous xs slices
+            # (same restructuring as training.loop / tools/step_exp7.py:
+            # random [B] gathers inside the scan are tile-amplified).
+            perm = jax.random.permutation(key, n)[: steps * bs]
+            u_all = jnp.take(users_all, perm).reshape(steps, bs)
+            m_all = jnp.take(movies_all, perm).reshape(steps, bs)
 
-            def body(carry, idx):
+            def body(carry, x):
                 p, o = carry
-                m_batch = jnp.take(movies_all, idx)
+                u_batch, m_batch = x
                 lq = (
                     jnp.take(log_q_all, m_batch)
                     if log_q_all is not None
                     else jnp.zeros(m_batch.shape, jnp.float32)
                 )
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    p, jnp.take(users_all, idx), m_batch, lq
+                    p, u_batch, m_batch, lq
                 )
                 updates, o = tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), perm
+                body, (params, opt_state), (u_all, m_all)
             )
             return params, opt_state, losses.mean()
 

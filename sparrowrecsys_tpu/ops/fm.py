@@ -37,7 +37,7 @@ def _fm_kernel(x_ref, o_ref):
     o_ref[...] = s * s - sq
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def fm_cross_pallas(fields: jnp.ndarray, block_b: int = 256) -> jnp.ndarray:
     b, f, d = fields.shape
     block_b = min(block_b, b)
@@ -55,17 +55,41 @@ def fm_cross_pallas(fields: jnp.ndarray, block_b: int = 256) -> jnp.ndarray:
     )(fields)
 
 
-def fm_cross(fields: jnp.ndarray, use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """[B, F, D] -> [B, D]. Auto-selects implementation.
+def _fm_pallas_fwd(fields, block_b):
+    return fm_cross_pallas(fields, block_b), fields
 
-    Measured on TPU v5e with forced-sync timing (tools/kernel_bench.py ->
-    KERNELS.md): XLA's fusion wins at training shapes; the Pallas tiling
-    wins for very large serving batches (878 vs 1241 us at B=32768, F=16,
-    D=128).
+
+def fm_cross_bwd(fields: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """d/dx_f (s^2 - sum x^2) = 2(s - x_f); one fused XLA expression —
+    the backward is pure bandwidth, nothing for a kernel to win."""
+    s = jnp.sum(fields, axis=1)
+    return 2.0 * g[:, None, :] * (s[:, None, :] - fields)
+
+
+def _fm_pallas_bwd(block_b, fields, g):
+    return (fm_cross_bwd(fields, g),)
+
+
+# Without this, training any model through the Pallas path fails at
+# linearization (Pallas kernels have no automatic transpose rule) — hit
+# by DeepFMv2 at batch >= 32768 (tools/zoo_bench.py).
+fm_cross_pallas.defvjp(_fm_pallas_fwd, _fm_pallas_bwd)
+
+
+def fm_cross(fields: jnp.ndarray, use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """[B, F, D] -> [B, D]. XLA by default; Pallas opt-in.
+
+    Measured on TPU v5e with forced-sync timing: standalone FORWARD the
+    Pallas tiling wins large batches (878 vs 1241 us at B=32768, F=16,
+    D=128 — tools/kernel_bench.py -> KERNELS.md), but inside the full
+    DeepFMv2 train step the B>=32768 Pallas dispatch is a 27% REGRESSION
+    (6.02 vs 8.23M ex/s at batch 65536, tools/zoo_bench.py + the forced-
+    XLA A/B) — the fwd/bwd pair schedules worse than XLA's fusion. Same
+    verdict as DIN attention (r1): XLA default, Pallas via
+    use_pallas=True for forward-only scans at very large B*F*D.
     """
     if use_pallas is None:
-        b = fields.shape[0]
-        use_pallas = b >= 32768
+        use_pallas = False
     if use_pallas and jax.default_backend() == "tpu":
         return fm_cross_pallas(fields)
     return fm_cross_xla(fields)

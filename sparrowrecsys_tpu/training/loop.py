@@ -137,7 +137,12 @@ class Trainer:
             `shuffle_block`-row blocks instead of rows (contiguous
             gathers, zero tile waste, ~+6% more) at the cost of
             approximate shuffling — opt-in, reference's buffer shuffle
-            is also approximate (`EmbeddingMLP.py:14-22`)."""
+            is also approximate (`EmbeddingMLP.py:14-22`).
+
+            Memory: packing + the permuted xs are ~2 transient dataset
+            copies on top of the resident columns — size
+            `device_resident_bytes` (and any override, see
+            tools/scale_demo.py's 8 GB) to ~1/3 of free HBM."""
             steps = -(-n // batch_size)
             padded = steps * batch_size
             block = self.config.shuffle_block

@@ -225,3 +225,22 @@ def test_gru_mask_carries_state():
     np.testing.assert_allclose(
         np.asarray(h[:, 1]), np.asarray(h_trunc[:, 1]), rtol=1e-6
     )
+
+
+def test_fm_cross_custom_vjp_matches_autodiff():
+    """fm_cross_pallas's hand-written backward (fm_cross_bwd) must equal
+    autodiff through the XLA expression — without the custom VJP,
+    training through the Pallas path fails at linearization (hit by
+    DeepFMv2 at batch >= 32768, tools/zoo_bench.py)."""
+    import jax
+
+    from sparrowrecsys_tpu.ops.fm import fm_cross_bwd
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 5, 16)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+
+    auto = jax.grad(lambda v: jnp.sum(fm_cross_xla(v) * g))(x)
+    np.testing.assert_allclose(
+        np.asarray(fm_cross_bwd(x, g)), np.asarray(auto), rtol=1e-4, atol=1e-4
+    )

@@ -51,9 +51,14 @@ def gru(
     h_dim = params.recurrent.shape[0]
     b = x.shape[0]
 
+    # Hoist the input projection out of the recurrence: one [B*T, D] @
+    # [D, 3H] MXU matmul instead of T narrow ones inside the scan
+    # (cuDNN-style; with the AUGRU hoist + unroll, DIEN step 5.15 ->
+    # 7.10M ex/s/chip, BASELINE.md).
+    gates_x_all = x @ params.kernel + params.bias  # [B, T, 3H]
+
     def step(h, inp):
-        xt, mt = inp
-        gates_x = xt @ params.kernel + params.bias  # [B, 3H]
+        gates_x, mt = inp
         xz, xr, xh = jnp.split(gates_x, 3, axis=-1)
         rz = h @ params.recurrent[:, : 2 * h_dim]
         hz, hr = jnp.split(rz, 2, axis=-1)
@@ -67,8 +72,12 @@ def gru(
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     h0 = jnp.zeros((b, h_dim), x.dtype)
+    t = x.shape[1]
     _, hs = jax.lax.scan(
-        step, h0, (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
+        step,
+        h0,
+        (jnp.swapaxes(gates_x_all, 0, 1), jnp.swapaxes(mask, 0, 1)),
+        unroll=min(t, 8),
     )
     return jnp.swapaxes(hs, 0, 1)
 
@@ -97,14 +106,18 @@ def augru(
     deliberately; zeros is the conventional choice and AUC-equivalent).
     """
 
-    def gate(g: AUGRUGate, x, h, act):
-        return act(x @ g.w + g.b + h @ g.u)
+    # Hoist the three input projections out of the recurrence (one
+    # batched MXU matmul each over all T steps); only the h-dependent
+    # recurrent matmuls stay inside the scan.
+    xr_all = states @ params.r.w + params.r.b  # [B, T, H]
+    xz_all = states @ params.z.w + params.z.b
+    xh_all = states @ params.h.w + params.h.b
 
     def step(h, inp):
-        xt, at = inp
-        r = gate(params.r, xt, h, jax.nn.sigmoid)
-        z = gate(params.z, xt, h, jax.nn.sigmoid)
-        h_tilde = jnp.tanh(xt @ params.h.w + params.h.b + (h * z) @ params.h.u)
+        xr, xz, xh, at = inp
+        r = jax.nn.sigmoid(xr + h @ params.r.u)
+        z = jax.nn.sigmoid(xz + h @ params.z.u)
+        h_tilde = jnp.tanh(xh + (h * z) @ params.h.u)
         a = at * r
         h_new = (1.0 - a) * h + a * h_tilde
         return h_new, None
@@ -112,6 +125,12 @@ def augru(
     b, t, hdim = states.shape
     h0 = jnp.zeros((b, hdim), states.dtype)
     h_fin, _ = jax.lax.scan(
-        step, h0, (jnp.swapaxes(states, 0, 1), jnp.swapaxes(attention, 0, 1))
+        step,
+        h0,
+        tuple(
+            jnp.swapaxes(v, 0, 1)
+            for v in (xr_all, xz_all, xh_all, attention)
+        ),
+        unroll=min(t, 8),
     )
     return h_fin

@@ -34,7 +34,21 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--train-rows", type=int, default=4_000_000,
                     help="cap rows fed to the training stage")
+    ap.add_argument("--sharded", default=None, metavar="DxM",
+                    help="train over a (data x model) mesh with row-sharded "
+                         "embedding tables, e.g. 4x2 (BASELINE.json config "
+                         "#5; on this environment the mesh is virtual CPU "
+                         "devices — set XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=N)")
     args = ap.parse_args()
+
+    if args.sharded:
+        # Must pin the backend BEFORE the first jax device query: the
+        # image's sitecustomize pins axon (1 device) and env vars can't
+        # override it (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sparrowrecsys_tpu.data.feature_pipeline import build_samples
     from sparrowrecsys_tpu.data.movielens import MovieCatalog
@@ -101,8 +115,17 @@ def main() -> None:
     model = build_model(
         "deepfm", user_buckets=args.users + 1, movie_buckets=args.movies + 1
     )
+    plan = None
+    if args.sharded:
+        from sparrowrecsys_tpu.config import MeshConfig
+        from sparrowrecsys_tpu.parallel.mesh import build_mesh
+
+        dp, mp = (int(x) for x in args.sharded.lower().split("x"))
+        plan = build_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+        out["mesh"] = f"{dp}x{mp}"
     trainer = Trainer(
-        model, TrainConfig(batch_size=args.batch_size, epochs=args.epochs)
+        model, TrainConfig(batch_size=args.batch_size, epochs=args.epochs),
+        plan=plan,
     )
     trainer.device_resident_bytes = 8 << 30
     t0 = time.perf_counter()

@@ -39,35 +39,55 @@ WARMUP = 5
 
 
 def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -> dict:
-    """Retrieval queries/sec: exact cosine top-k over the item matrix
-    (BASELINE.json's 'retrieval recall@10 + queries/sec' metric; exact
-    search has recall@10 == 1.0 by construction)."""
+    """Retrieval queries/sec: cosine top-k over the item matrix via the
+    measured auto-dispatch (`ops/topk.py::cosine_topk_auto` — exact
+    `lax.top_k` below 100k items, TPU-native `lax.approx_max_k` at/above;
+    KERNELS.md: 1.61x at 100k / 6.04x at 1M, realized recall@10 >= 0.994
+    vs exact). BASELINE.json's 'retrieval recall@10 + queries/sec'."""
     import jax.numpy as jnp
 
-    from sparrowrecsys_tpu.ops.topk import cosine_topk
+    from sparrowrecsys_tpu.ops.topk import (
+        APPROX_TOPK_MIN_ITEMS,
+        cosine_topk,
+        cosine_topk_auto,
+    )
 
     rng = np.random.default_rng(0)
     items = jnp.asarray(rng.normal(size=(n_items, 64)).astype(np.float32))
     queries = jnp.asarray(rng.normal(size=(n_queries, 64)).astype(np.float32))
-    s, i = cosine_topk(queries, items, k)  # compile
+    s, i = cosine_topk_auto(queries, items, k)  # compile
     hard_sync(s)
     iters = 50
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            s, i = cosine_topk(queries, items, k)
+            s, i = cosine_topk_auto(queries, items, k)
         hard_sync(s)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    # Realized search recall of the dispatched kernel vs exact on the
+    # same data (1.0 when the dispatcher picked exact).
+    _, i_exact = cosine_topk(queries, items, k)
+    ia, ie = np.asarray(i), np.asarray(i_exact)
+    search_recall = float(
+        np.mean([len(set(a) & set(e)) / k for a, e in zip(ia, ie)])
+    )
+    mode = (
+        "approx_max_k"
+        if n_items >= APPROX_TOPK_MIN_ITEMS
+        and jax.default_backend() == "tpu"
+        else "exact"
+    )
     out = {
         "metric": "retrieval_topk_queries_per_sec",
         "value": round(n_queries * iters / best_dt, 1),
-        "unit": f"queries/s (k={k}, {n_items} items; exact search)",
+        "unit": f"queries/s (k={k}, {n_items} items; {mode} search, "
+        f"recall@{k}={search_recall:.4f} vs exact)",
         "vs_baseline": 1.0,
     }
     # Carry the honest LEARNED-retrieval quality next to the q/s so the
-    # bench doesn't imply recall=1.0 means quality (VERDICT r1 weak-#7):
-    # exact top-k has recall 1.0 by construction; the learned two-tower
+    # bench doesn't imply search recall means quality (VERDICT r1 weak-#7):
+    # brute-force search recall is ~1.0 by construction; the learned two-tower
     # number comes from recall.json (tools/recall_eval.py, leave-one-out).
     try:
         with open("recall.json") as f:

@@ -45,6 +45,45 @@ def cosine_topk(
     return jax.lax.top_k(scores, k)
 
 
+#: Catalog size above which `cosine_topk_auto` switches to the TPU-native
+#: approximate top-k. Measured on v5e (tools/topk_bench.py -> KERNELS.md):
+#: at 100k items approx is 1.61x faster than exact (realized recall@10
+#: 0.996); at 1M items `lax.top_k`'s full sort dominates and
+#: `approx_max_k` wins 6.04x (realized recall@10 0.994). Below ~100k the
+#: matmul dominates and exact is kept for bitwise-stable serving results.
+APPROX_TOPK_MIN_ITEMS = 100_000
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def cosine_topk_approx(
+    queries: jnp.ndarray,
+    items: jnp.ndarray,
+    k: int,
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate cosine top-k via `lax.approx_max_k` — TPU's native
+    two-stage (per-partition argmax + rescoring) top-k, avoiding
+    `lax.top_k`'s full sort. Guarantees expected recall >=
+    `recall_target` against the exact result; realized recall is
+    measured and recorded in KERNELS.md."""
+    scores = cosine_scores(queries, items)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+def cosine_topk_auto(
+    queries: jnp.ndarray, items: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Measured auto-dispatch: exact top-k at catalog sizes where the
+    matmul dominates, `approx_max_k` beyond `APPROX_TOPK_MIN_ITEMS`
+    (same discipline as ops/fm.py / ops/attention.py)."""
+    if (
+        items.shape[0] >= APPROX_TOPK_MIN_ITEMS
+        and jax.default_backend() == "tpu"
+    ):
+        return cosine_topk_approx(queries, items, k)
+    return cosine_topk(queries, items, k)
+
+
 def sharded_cosine_topk(
     queries: jnp.ndarray,
     items: jnp.ndarray,

@@ -152,6 +152,32 @@ class TestTopK:
         scores, idx = cosine_topk(q, items, 2)
         assert np.asarray(idx)[0, 0] == 0 and np.asarray(idx)[0, 1] == 1
 
+    def test_approx_topk_recall_and_auto_dispatch(self):
+        """cosine_topk_approx must agree with exact top-k at high recall
+        (on CPU approx_max_k reduces to exact; the TPU realized-recall
+        measurement lives in tools/topk_bench.py -> KERNELS.md), and the
+        auto dispatcher stays exact below APPROX_TOPK_MIN_ITEMS."""
+        from sparrowrecsys_tpu.ops.topk import (
+            cosine_topk,
+            cosine_topk_approx,
+            cosine_topk_auto,
+        )
+
+        rng = np.random.default_rng(1)
+        items = rng.normal(size=(4096, 16)).astype(np.float32)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        s_e, i_e = cosine_topk(q, items, 10)
+        s_a, i_a = cosine_topk_approx(q, items, 10)
+        rec = np.mean(
+            [
+                len(set(a.tolist()) & set(e.tolist())) / 10
+                for a, e in zip(np.asarray(i_a), np.asarray(i_e))
+            ]
+        )
+        assert rec >= 0.9, rec
+        s_auto, i_auto = cosine_topk_auto(q, items, 10)
+        np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_e))
+
     def test_sharded_matches_dense(self):
         import jax
         from jax.sharding import Mesh

@@ -28,6 +28,7 @@ import numpy as np
 
 from sparrowrecsys_tpu.config import POSITIVE_RATING_THRESHOLD
 from sparrowrecsys_tpu.data.movielens import Ratings
+from sparrowrecsys_tpu.ops.embedding import ONEHOT_GRAD_MAX_VOCAB
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,11 +118,31 @@ def _sgns_math(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
     dv_pos = g_pos[:, None] * u
     dv_neg = g_neg[..., None] * u[:, None, :]
 
-    emb_in = emb_in.at[centers].add(-lr * du)
-    emb_out = emb_out.at[contexts].add(-lr * dv_pos)
-    emb_out = emb_out.at[neg_idx.reshape(-1)].add(
-        -lr * dv_neg.reshape(-1, u.shape[-1])
-    )
+    v = emb_in.shape[0]
+    if v <= ONEHOT_GRAD_MAX_VOCAB:
+        # Apply the three table updates as two one-hot matmuls on the MXU
+        # instead of three scatter-adds — measured +10% epoch throughput at
+        # the item vocab (tools/sgns_exp.py: 3.94 -> 3.60 ms/step, v5e).
+        # Numerically identical accumulation (one-hot^T @ grads sums
+        # duplicate ids exactly like scatter-add).
+        oh_c = jax.nn.one_hot(centers, v, dtype=du.dtype)          # [B, V]
+        emb_in = emb_in - lr * jnp.dot(
+            oh_c.T, du, preferred_element_type=jnp.float32
+        )
+        out_ids = jnp.concatenate([contexts, neg_idx.reshape(-1)])
+        out_g = jnp.concatenate(
+            [dv_pos, dv_neg.reshape(-1, u.shape[-1])], axis=0
+        )
+        oh_o = jax.nn.one_hot(out_ids, v, dtype=out_g.dtype)       # [B(1+N), V]
+        emb_out = emb_out - lr * jnp.dot(
+            oh_o.T, out_g, preferred_element_type=jnp.float32
+        )
+    else:
+        emb_in = emb_in.at[centers].add(-lr * du)
+        emb_out = emb_out.at[contexts].add(-lr * dv_pos)
+        emb_out = emb_out.at[neg_idx.reshape(-1)].add(
+            -lr * dv_neg.reshape(-1, u.shape[-1])
+        )
     loss = -jnp.mean(
         jax.nn.log_sigmoid(pos_logit) + jnp.sum(jax.nn.log_sigmoid(-neg_logit), -1)
     )

@@ -27,7 +27,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparrowrecsys_tpu.embedding import item2vec as i2v
+
+def _sgns_math_scatter(emb_in, emb_out, centers, contexts, neg_cdf, key,
+                       negatives, lr):
+    """The pre-onehot scatter-add update (kept here as the A/B control —
+    the package's `_sgns_math` now one-hot-matmuls at V <= 2048)."""
+    b = centers.shape[0]
+    u = jnp.take(emb_in, centers, axis=0)
+    v_pos = jnp.take(emb_out, contexts, axis=0)
+    r = jax.random.uniform(key, (b, negatives))
+    neg_idx = jnp.searchsorted(neg_cdf, r)
+    v_neg = jnp.take(emb_out, neg_idx, axis=0)
+    pos_logit = jnp.sum(u * v_pos, axis=-1)
+    neg_logit = jnp.einsum("bd,bnd->bn", u, v_neg)
+    g_pos = jax.nn.sigmoid(pos_logit) - 1.0
+    g_neg = jax.nn.sigmoid(neg_logit)
+    du = g_pos[:, None] * v_pos + jnp.einsum("bn,bnd->bd", g_neg, v_neg)
+    dv_pos = g_pos[:, None] * u
+    dv_neg = g_neg[..., None] * u[:, None, :]
+    emb_in = emb_in.at[centers].add(-lr * du)
+    emb_out = emb_out.at[contexts].add(-lr * dv_pos)
+    emb_out = emb_out.at[neg_idx.reshape(-1)].add(
+        -lr * dv_neg.reshape(-1, u.shape[-1])
+    )
+    loss = -jnp.mean(
+        jax.nn.log_sigmoid(pos_logit)
+        + jnp.sum(jax.nn.log_sigmoid(-neg_logit), -1)
+    )
+    return emb_in, emb_out, loss
 
 BATCH = 8192
 NEG = 5
@@ -74,7 +101,7 @@ def _sgns_math_onehot(emb_in, emb_out, centers, contexts, neg_cdf, key,
 
 @functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(0, 1))
 def epoch(emb_in, emb_out, c_all, x_all, neg_cdf, key, mode="scatter"):
-    math_fn = i2v._sgns_math if mode == "scatter" else _sgns_math_onehot
+    math_fn = _sgns_math_scatter if mode == "scatter" else _sgns_math_onehot
     keys = jax.random.split(key, c_all.shape[0])
 
     def body(carry, x):

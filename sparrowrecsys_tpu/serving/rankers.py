@@ -27,18 +27,45 @@ from sparrowrecsys_tpu.serving.catalog import DataManager, Movie
 _DEVICE_LOCK = threading.Lock()
 
 
+#: Candidate-count shape buckets for the jitted cosine pass. `jax.jit`
+#: specializes on the matrix's row count, so an unpadded call compiles
+#: once per DISTINCT candidate-set size — and /getsimilarmovie's
+#: genre-union candidates vary per movie, which on the remote-attached
+#: TPU means a multi-second (tunnel: multi-minute) compile on ordinary
+#: requests. Padding N up to a bucket caps serving at one compile per
+#: bucket, all of which `RecSysServer.warmup()` pre-triggers at startup.
+_SHAPE_BUCKETS = (128, 512, 1024, 4096, 16384)
+
+
+def _pad_bucket(n: int) -> int:
+    for b in _SHAPE_BUCKETS:
+        if n <= b:
+            return b
+    return n  # beyond the largest bucket: exact shape (rare, scan-scale)
+
+
 def cosine_scores_batch(query: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     """One [1, D] x [N, D] cosine pass on device; -1 for zero rows (parity
-    with `calculateSimilarity` returning -1 on null embeddings)."""
+    with `calculateSimilarity` returning -1 on null embeddings). The
+    matrix is zero-padded to a shape bucket so one compilation serves
+    every candidate-set size in the bucket (padded rows are sliced off
+    before the dead-row mask)."""
     from sparrowrecsys_tpu.ops.topk import cosine_scores
     import jax.numpy as jnp
 
     if matrix.size == 0 or query.size == 0:
         return np.full(len(matrix), -1.0, np.float32)
+    n = len(matrix)
+    padded_n = _pad_bucket(n)
+    if padded_n != n:
+        pad = np.zeros((padded_n - n, matrix.shape[1]), matrix.dtype)
+        matrix_dev = np.concatenate([matrix, pad], axis=0)
+    else:
+        matrix_dev = matrix
     with _DEVICE_LOCK:
         s = np.array(
-            cosine_scores(jnp.asarray(query[None, :]), jnp.asarray(matrix))
-        )[0]
+            cosine_scores(jnp.asarray(query[None, :]), jnp.asarray(matrix_dev))
+        )[0, :n]
     dead = ~np.any(matrix != 0, axis=1)
     s[dead] = -1.0
     return s

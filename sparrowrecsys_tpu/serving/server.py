@@ -66,6 +66,45 @@ class RecSysServer:
         self.port = int(os.environ.get("PORT", self.config.port))
         self._httpd: Optional[AsyncHTTPServer] = None
 
+    def warmup(self) -> None:
+        """Pre-compile every jitted serving path before taking traffic —
+        the TF-Serving model-warmup role. Without this the first
+        /getsimilarmovie or /getrecforyou request pays the XLA compile
+        (~20-40 s on a directly-attached TPU, minutes through the axon
+        remote tunnel). Compiles one cosine kernel per reachable shape
+        bucket (`rankers._SHAPE_BUCKETS`), the micro-batcher's fixed
+        [max_batch, 800] shape, and the CTR scorer if configured."""
+        import numpy as np
+
+        from sparrowrecsys_tpu.serving.rankers import (
+            _SHAPE_BUCKETS,
+            cosine_scores_batch,
+        )
+
+        d = (
+            self.dm.movie_emb_matrix.shape[1]
+            if self.dm.movie_emb_matrix.size
+            else 0
+        )
+        if d:
+            q = np.ones((d,), np.float32)
+            # Buckets reachable from serving: similar-movie candidates are
+            # bounded by the catalog size, rec-for-you by CANDIDATE_SIZE.
+            limit = max(len(self.dm.movies), 1)
+            for b in _SHAPE_BUCKETS:
+                cosine_scores_batch(q, np.ones((min(b, limit), d), np.float32))
+                if b >= limit:
+                    break
+            batcher = self.rec_for_you._batcher
+            if batcher is not None:
+                _, mat = self.rec_for_you._candidate_set()
+                if mat.size:
+                    batcher.scorer(np.ones((batcher.max_batch, d), np.float32))
+        if self.rec_for_you.scorer is not None:
+            movie_ids = [m.movie_id for m in self.dm.get_movies(8, "rating")]
+            if movie_ids:
+                self.rec_for_you.scorer.score(1, movie_ids)
+
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:
         """Returns (status, content_type, body_bytes)."""
@@ -170,6 +209,12 @@ def main() -> None:
         scorer = ModelScorer.from_checkpoint(build_model("neuralcf"), args.model_dir)
     server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test)
     server.start(block=False)  # bind first so the printed port is the real one
+    print(
+        f"Sparrow RecSys (TPU) binding http://localhost:{server.port}/ "
+        "(warming jitted scorers...)",
+        flush=True,
+    )
+    server.warmup()
     print(f"Sparrow RecSys (TPU) serving on http://localhost:{server.port}/")
     server._httpd.join()
 

@@ -73,3 +73,50 @@ def load_latest(model_dir: str, target: Any) -> Tuple[Any, int, dict]:
         with open(meta_path) as f:
             meta = json.load(f)
     return params, v, meta
+
+
+# ---- full train-state checkpoint/resume ---------------------------------
+#
+# The reference's training scripts are fire-and-forget (SURVEY.md §5:
+# "training scripts have none"); model *versioning* is its only artifact
+# policy. A production trainer needs mid-training resume: params alone
+# are not enough — Adam moments and the epoch cursor must round-trip, and
+# because the per-epoch shuffle key is derived as PRNGKey(seed + epoch),
+# a resumed run replays the exact same batch schedule the uninterrupted
+# run would have used (asserted bitwise in tests/test_checkpoint.py).
+
+def save_train_state(
+    params: Any,
+    opt_state: Any,
+    next_epoch: int,
+    state_dir: str,
+    keep: Optional[int] = None,
+    extra_meta: Optional[dict] = None,
+) -> str:
+    """Checkpoint the full train state under a numbered version dir:
+    <state_dir>/<NNN>/{params.msgpack, opt_state.msgpack, meta.json}."""
+    meta = dict(extra_meta or {})
+    meta["next_epoch"] = int(next_epoch)
+    vdir = save(params, state_dir, meta=meta, keep=keep)
+    with open(os.path.join(vdir, "opt_state.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(opt_state))
+    return vdir
+
+
+def load_latest_train_state(
+    state_dir: str, params_target: Any, opt_state_target: Any
+) -> Tuple[Any, Any, int, dict]:
+    """Restore (params, opt_state, next_epoch, meta) from the newest
+    version. `opt_state_target` supplies the optimizer pytree structure
+    (e.g. `tx.init(params_target)`)."""
+    params, v, meta = load_latest(state_dir, params_target)
+    vdir = os.path.join(state_dir, f"{v:03d}")
+    opt_path = os.path.join(vdir, "opt_state.msgpack")
+    if not os.path.exists(opt_path):
+        raise FileNotFoundError(
+            f"{vdir} has no opt_state.msgpack — it is a params-only export, "
+            "not a train-state checkpoint"
+        )
+    with open(opt_path, "rb") as f:
+        opt_state = flax.serialization.from_bytes(opt_state_target, f.read())
+    return params, opt_state, int(meta.get("next_epoch", 0)), meta

@@ -294,12 +294,23 @@ class Trainer:
         epochs: Optional[int] = None,
         batch_size: Optional[int] = None,
         verbose: bool = True,
+        state_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
     ) -> TrainResult:
         """Train; returns TrainResult with steady-state examples_per_sec.
 
         verbose=True prints per-epoch metrics, which costs one device->host
         read per epoch inside the timed window — benchmarks should pass
-        verbose=False (bench.py does)."""
+        verbose=False (bench.py does).
+
+        state_dir enables full train-state checkpointing (params + Adam
+        moments + epoch cursor) every `checkpoint_every` epochs; with
+        resume=True the newest state under state_dir is restored and
+        training continues from its epoch cursor. Because the per-epoch
+        shuffle key is PRNGKey(seed + epoch), a resumed run replays the
+        exact batch schedule of an uninterrupted one (bitwise — see
+        tests/test_checkpoint.py)."""
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         batch_size = cfg.batch_size if batch_size is None else batch_size
@@ -308,6 +319,18 @@ class Trainer:
         if params is None:
             params = self.init_params(train.features)
         opt_state = self.tx.init(params)
+        start_epoch = 0
+        if resume and state_dir:
+            from sparrowrecsys_tpu.training import checkpoint as ckpt
+
+            try:
+                params, opt_state, start_epoch, _ = (
+                    ckpt.load_latest_train_state(state_dir, params, opt_state)
+                )
+                if verbose:
+                    print(f"resumed train state at epoch {start_epoch}")
+            except FileNotFoundError:
+                pass  # nothing saved yet: cold start
 
         ds_bytes = sum(v.nbytes for v in train.features.values()) + train.labels.nbytes
         resident = ds_bytes <= self.device_resident_bytes
@@ -333,7 +356,20 @@ class Trainer:
         self._timed_examples = 0
         self._t_steady = None  # set after the first (compiling) step returns
         n = len(train)
-        for epoch in range(epochs):
+
+        def maybe_checkpoint(epoch_done: int) -> None:
+            if not state_dir:
+                return
+            last = epoch_done == epochs
+            if last or (checkpoint_every and epoch_done % checkpoint_every == 0):
+                from sparrowrecsys_tpu.training import checkpoint as ckpt
+
+                ckpt.save_train_state(
+                    params, opt_state, epoch_done, state_dir,
+                    keep=cfg.checkpoint_keep,
+                )
+
+        for epoch in range(start_epoch, epochs):
             mstate = M.init_metrics()
             if resident:
                 params, opt_state, mstate = self._train_epoch(
@@ -359,6 +395,7 @@ class Trainer:
                         f"acc={em['accuracy']:.4f} roc_auc={em['roc_auc']:.4f} "
                         f"pr_auc={em['pr_auc']:.4f}"
                     )
+                maybe_checkpoint(epoch + 1)
                 continue
             for feats, labels, mask in self._batches(
                 train, batch_size, cfg.shuffle_each_epoch, cfg.seed + epoch
@@ -381,6 +418,7 @@ class Trainer:
                     f"acc={em['accuracy']:.4f} roc_auc={em['roc_auc']:.4f} "
                     f"pr_auc={em['pr_auc']:.4f}"
                 )
+            maybe_checkpoint(epoch + 1)
         hard_sync(params)
         end = time.perf_counter()
         # Convert deferred per-epoch device metrics to floats (post-timing).

@@ -38,6 +38,17 @@ def main() -> None:
         help="export a versioned checkpoint (NeuralCF.py:106-114 parity: "
         "e.g. data/modeldata/neuralcf -> .../NNN/)",
     )
+    ap.add_argument(
+        "--state-dir", default=None, metavar="DIR",
+        help="checkpoint the FULL train state (params + Adam moments + "
+        "epoch cursor) here every --checkpoint-every epochs",
+    )
+    ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="restore the newest state under --state-dir and continue; "
+        "bitwise-identical to the uninterrupted run (epoch-keyed shuffle)",
+    )
     args = ap.parse_args()
 
     from sparrowrecsys_tpu.config import DataConfig, TrainConfig, config_from_json
@@ -83,7 +94,12 @@ def main() -> None:
     cfg = _dc.replace(base, **overrides)
     model = build_model(args.model)
     trainer = Trainer(model, cfg, loss_fn=loss_fn)
-    result = trainer.fit(train_ds, test=test_ds)
+    result = trainer.fit(
+        train_ds, test=test_ds,
+        state_dir=args.state_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
 
     if args.export:
         from sparrowrecsys_tpu.training.checkpoint import save

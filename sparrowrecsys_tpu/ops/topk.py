@@ -91,12 +91,18 @@ def sharded_cosine_topk(
     mesh: Mesh,
     *,
     model_axis: str = "model",
+    approx: "bool | None" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an item matrix row-sharded across `model_axis`.
 
     Each shard computes local top-k over its rows; an all_gather of the
     [Q, k] partials (k rows per shard over ICI, not the catalog) is merged
     by a second tiny top-k. Queries are replicated.
+
+    approx=None applies the same measured dispatch rule as
+    `cosine_topk_auto` to the PER-SHARD stage (approx_max_k when a shard
+    block holds >= APPROX_TOPK_MIN_ITEMS rows on TPU); the cross-shard
+    merge stays an exact [Q, P*k] top-k either way.
     """
     n_model = mesh.shape[model_axis]
     m = items.shape[0]
@@ -104,10 +110,17 @@ def sharded_cosine_topk(
     padded = block * n_model
     if padded != m:
         items = jnp.pad(items, ((0, padded - m), (0, 0)))
+    if approx is None:
+        approx = (
+            block >= APPROX_TOPK_MIN_ITEMS and jax.default_backend() == "tpu"
+        )
 
     def _local(q, it_blk):
         shard = jax.lax.axis_index(model_axis)
-        s, i = cosine_topk(q, it_blk, k)
+        if approx:
+            s, i = cosine_topk_approx(q, it_blk, k)
+        else:
+            s, i = cosine_topk(q, it_blk, k)
         i = i + shard * block
         s_all = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)  # [Q, P*k]
         i_all = jax.lax.all_gather(i, model_axis, axis=1, tiled=True)

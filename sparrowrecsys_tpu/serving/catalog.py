@@ -68,10 +68,19 @@ class Movie:
     # @JsonIgnore equivalents:
     emb: Optional[np.ndarray] = None
     movie_features: Optional[Dict[str, str]] = None
+    # Cached serialized JSON. The catalog is read-only after load_data
+    # (the property that makes the thread pool safe, SURVEY.md §5), so
+    # each movie's JSON is encoded once and list endpoints join cached
+    # strings instead of re-encoding ~32 nested dicts per request —
+    # measured 29% of the /getrecforyou core path. add_rating invalidates.
+    _json_cache: Optional[str] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     def add_rating(self, rating: Rating) -> None:
         """Incremental average (Movie.java:114-120) + bounded sorted top-10
         insert (Movie.java:123-142)."""
+        self._json_cache = None
         self.average_rating = (
             self.average_rating * self.rating_number + rating.score
         ) / (self.rating_number + 1)
@@ -100,6 +109,15 @@ class Movie:
             "averageRating": self.average_rating,
             "topRatings": _wrap_ratings(self.top_ratings),
         }
+
+    def to_json_str(self) -> str:
+        """Serialized `to_json()`, cached until the next add_rating.
+        Byte-identical to json.dumps(self.to_json())."""
+        if self._json_cache is None:
+            import json
+
+            self._json_cache = json.dumps(self.to_json())
+        return self._json_cache
 
 
 @dataclasses.dataclass

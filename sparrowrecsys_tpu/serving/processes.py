@@ -106,6 +106,7 @@ class RecForYouProcess:
         # re-sorts the whole catalog per request (RecForYouProcess.java:37).
         self._candidates: Optional[List[Movie]] = None
         self._candidate_matrix = None  # aligned [800, D] embedding rows
+        self._candidate_matrix_dev = None  # device-resident copy (jnp)
         # Optional micro-batching: concurrent requests' user embeddings are
         # stacked into ONE [B, 800] cosine dispatch (serving/batcher.py).
         self._batcher = None
@@ -118,10 +119,17 @@ class RecForYouProcess:
                 from sparrowrecsys_tpu.ops.topk import cosine_scores
                 from sparrowrecsys_tpu.serving.rankers import _DEVICE_LOCK
 
-                _, mat = self._candidate_set()
                 with _DEVICE_LOCK:
+                    # Candidate matrix is fixed post-load; keep it device-
+                    # resident instead of re-uploading [800, D] per batch
+                    # (device_put was ~22% of the measured core path).
+                    if self._candidate_matrix_dev is None:
+                        _, mat = self._candidate_set()
+                        self._candidate_matrix_dev = jnp.asarray(mat)
                     return np.array(
-                        cosine_scores(jnp.asarray(user_embs), jnp.asarray(mat))
+                        cosine_scores(
+                            jnp.asarray(user_embs), self._candidate_matrix_dev
+                        )
                     )
 
             self._batcher = MicroBatcher(

@@ -230,6 +230,9 @@ def build_samples(
         genre_matrix[np.maximum(mrow_s, 0)],
         np.int32(0),
     )
+    # (A transposed-contiguous cumsum is 5x faster in isolation but the
+    # layout round-trips + strided downstream gathers give it all back —
+    # measured 37 s vs 4.9 s at 1M rows; keep the straight axis-0 scan.)
     gcs = np.concatenate(
         [np.zeros((1, ext_v), dtype=np.int32),
          np.cumsum(row_genres, axis=0, dtype=np.int32)]

@@ -1,0 +1,84 @@
+"""Device feature pipeline vs the numpy reference implementation.
+
+`build_samples_device` must be BIT-IDENTICAL to `build_samples` on every
+column: all heavy stages run as one jitted XLA program with integer-exact
+moments (ratings on the 0.5 grid as 2r int32, years offset), and the
+final f64 divides/roundings run on host from those exact moments — so
+agreement is by construction, and these tests police it.
+"""
+
+import numpy as np
+import pytest
+
+from sparrowrecsys_tpu.data import load_movies, ratings_from_samples_csv
+from sparrowrecsys_tpu.data.device_pipeline import (
+    build_samples_device,
+    device_feature_columns,
+)
+from sparrowrecsys_tpu.data.feature_pipeline import build_samples
+from sparrowrecsys_tpu.data.movielens import MovieCatalog
+from sparrowrecsys_tpu.data.synthetic import SyntheticSpec, synthetic_ratings
+from tests.conftest import REPO_DATA
+
+
+def _assert_tables_equal(a, b):
+    assert set(a.columns) == set(b.columns)
+    assert len(a) == len(b)
+    for k in a.columns:
+        va, vb = a[k], b[k]
+        assert va.dtype == vb.dtype, (k, va.dtype, vb.dtype)
+        neq = int(np.sum(va != vb))
+        assert neq == 0, f"{k}: {neq}/{len(va)} rows differ"
+
+
+@pytest.fixture(scope="module")
+def real_data():
+    import os
+
+    ratings = ratings_from_samples_csv(
+        os.path.join(REPO_DATA, "goldenTestSamples.csv")
+    )
+    catalog = load_movies(os.path.join(REPO_DATA, "movies.csv"))
+    return ratings, catalog
+
+
+class TestDevicePipelineParity:
+    def test_real_sample_bit_exact(self, real_data):
+        ratings, catalog = real_data
+        _assert_tables_equal(
+            build_samples(ratings, catalog),
+            build_samples_device(ratings, catalog),
+        )
+
+    def test_synthetic_bit_exact(self):
+        ratings = synthetic_ratings(SyntheticSpec(2000, 500, 100_000))
+        ids = np.arange(1, 501, dtype=np.int32)
+        catalog = MovieCatalog(
+            movie_ids=ids,
+            titles=[f"M{i}" for i in ids],
+            release_years=(1950 + ids % 70).astype(np.int32),
+            genres=[["Action", "Drama"] if i % 2 else ["Comedy"] for i in ids],
+            id_to_row={int(i): k for k, i in enumerate(ids)},
+            genre_index={},
+        )
+        _assert_tables_equal(
+            build_samples(ratings, catalog),
+            build_samples_device(ratings, catalog),
+        )
+
+    def test_long_history_bit_exact(self, real_data):
+        ratings, catalog = real_data
+        _assert_tables_equal(
+            build_samples(ratings, catalog, history_length=16),
+            build_samples_device(ratings, catalog, history_length=16),
+        )
+
+    def test_device_columns_stay_on_device(self, real_data):
+        import jax
+
+        ratings, catalog = real_data
+        cols = device_feature_columns(ratings, catalog)
+        lbl = cols["label"]
+        assert isinstance(lbl, jax.Array)
+        # the f32 stat columns exist on device for pure-device consumers
+        assert cols["movieAvgRating"].dtype == np.float32

@@ -49,6 +49,12 @@ from sparrowrecsys_tpu.data.schema import SampleTable
 
 YEAR_OFFSET = 1950  # keeps windowed year squares integer-exact in int32
 
+# Rows per chunk for the genre-frequency stage. Above this the [n, V]
+# genre cumsum is computed chunk-at-a-time under lax.map (window-row halo;
+# bit-identical, see _genre_topk) so peak HBM stays O(chunk * V) instead
+# of O(n * V) — the direct form OOMed a 16 GB v5e at 20M events.
+GENRE_CHUNK = 1 << 21
+
 
 def _round_half_up_scaled(x: jnp.ndarray) -> jnp.ndarray:
     """HALF_UP rounding, returned SCALED by 10^precision (integer-valued
@@ -71,8 +77,91 @@ def _sample_std(count, total, total_sq):
     return jnp.where(count < 2, 0.0, std)
 
 
+def _genre_window_topk(
+    mrow_s: jnp.ndarray,   # int32 [n] catalog row per sorted event, -1 = none
+    label_s: jnp.ndarray,  # int32 [n]
+    ws: jnp.ndarray,       # int32 [n] window start (sorted coords)
+    genre_matrix: jnp.ndarray,  # int32 [M, V] 0/1
+    *,
+    window: int,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-5 (count, ext-vocab idx) of positive-window genre frequencies
+    per sorted row.
+
+    Direct form materializes three [n, V] temporaries (gather, cumsum,
+    window diff) — ~5 GB at 20M events, which OOMs a 16 GB v5e. Beyond
+    `chunk` rows the same math runs chunk-at-a-time under lax.map with a
+    `window`-row halo: ws >= idx - window guarantees every window start
+    falls inside the halo, so per-chunk local cumsum differences equal
+    the global gcs[idx] - gcs[ws] exactly (integer math — bit-identical),
+    while peak HBM stays O(chunk * V)."""
+    n = mrow_s.shape[0]
+    V = genre_matrix.shape[1]
+
+    def rows_to_genres(mrow, lab):
+        return jnp.where(
+            (mrow >= 0)[:, None] & (lab == 1)[:, None],
+            genre_matrix[jnp.maximum(mrow, 0)],
+            0,
+        ).astype(jnp.int32)
+
+    if n <= chunk:
+        gcs = jnp.concatenate(
+            [
+                jnp.zeros((1, V), jnp.int32),
+                jnp.cumsum(rows_to_genres(mrow_s, label_s), axis=0,
+                           dtype=jnp.int32),
+            ]
+        )
+        idx = jnp.arange(n, dtype=jnp.int32)
+        return jax.lax.top_k(gcs[idx] - gcs[ws], 5)
+
+    g = -(-n // chunk)
+    pad_tail = g * chunk - n
+    # mpad[window + i] = sorted row i; front pad contributes no genres.
+    mpad = jnp.concatenate(
+        [
+            jnp.full((window,), -1, jnp.int32),
+            mrow_s,
+            jnp.full((pad_tail,), -1, jnp.int32),
+        ]
+    )
+    lpad = jnp.concatenate(
+        [jnp.zeros((window,), jnp.int32), label_s,
+         jnp.zeros((pad_tail,), jnp.int32)]
+    )
+    # Tail-pad rows get ws = own index: empty window, rows discarded below.
+    wspad = jnp.concatenate(
+        [ws, jnp.arange(n, g * chunk, dtype=jnp.int32)]
+    )
+
+    def one_chunk(ci):
+        start = ci * chunk
+        mloc = jax.lax.dynamic_slice(mpad, (start,), (chunk + window,))
+        lloc = jax.lax.dynamic_slice(lpad, (start,), (chunk + window,))
+        wloc = jax.lax.dynamic_slice(wspad, (start,), (chunk,))
+        gcs_l = jnp.concatenate(
+            [
+                jnp.zeros((1, V), jnp.int32),
+                jnp.cumsum(rows_to_genres(mloc, lloc), axis=0,
+                           dtype=jnp.int32),
+            ]
+        )
+        j = jnp.arange(chunk, dtype=jnp.int32)
+        # global row k maps to local coord k - start + window
+        gwin = gcs_l[j + window] - gcs_l[wloc - start + window]
+        return jax.lax.top_k(gwin, 5)
+
+    counts, ids = jax.lax.map(one_chunk, jnp.arange(g, dtype=jnp.int32))
+    return (
+        counts.reshape(g * chunk, 5)[:n],
+        ids.reshape(g * chunk, 5)[:n],
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("window", "history_length")
+    jax.jit, static_argnames=("window", "history_length", "genre_chunk")
 )
 def _device_features(
     uid: jnp.ndarray,           # int32 [n]
@@ -87,6 +176,7 @@ def _device_features(
     *,
     window: int,
     history_length: int,
+    genre_chunk: int = GENRE_CHUNK,
 ) -> Dict[str, jnp.ndarray]:
     n = uid.shape[0]
     rating = rating2.astype(jnp.float32) * 0.5
@@ -186,19 +276,9 @@ def _device_features(
     # (ties by vocab index — lax.top_k prefers the lowest index, matching
     # the numpy stable argsort).
     mrow_s = jnp.where(has_movie[order], id_to_row[jnp.clip(mid_s, 0, vm - 1)], -1)
-    row_genres = jnp.where(
-        (mrow_s >= 0)[:, None] & (label_s == 1)[:, None],
-        genre_matrix[jnp.maximum(mrow_s, 0)],
-        0,
-    ).astype(jnp.int32)
-    gcs = jnp.concatenate(
-        [
-            jnp.zeros((1, genre_matrix.shape[1]), jnp.int32),
-            jnp.cumsum(row_genres, axis=0, dtype=jnp.int32),
-        ]
+    top5_counts, top5 = _genre_window_topk(
+        mrow_s, label_s, ws, genre_matrix, window=window, chunk=genre_chunk
     )
-    gwin = gcs[idx] - gcs[ws]
-    top5_counts, top5 = jax.lax.top_k(gwin, 5)
     user_genres = jnp.where(top5_counts > 0, ext_to_model[top5], -1).astype(
         jnp.int32
     )
@@ -247,6 +327,7 @@ def device_feature_columns(
     catalog: MovieCatalog,
     window: int = USER_FEATURE_WINDOW,
     history_length: int = 5,
+    genre_chunk: int = GENRE_CHUNK,
 ) -> Dict[str, jnp.ndarray]:
     """Run the jitted pipeline; returns UNFILTERED device columns (use
     `cols["userRatingCount"] >= k` for the reference filter). Timestamps
@@ -272,6 +353,7 @@ def device_feature_columns(
         jnp.asarray(ext_to_model),
         window=window,
         history_length=history_length,
+        genre_chunk=genre_chunk,
     )
 
 
@@ -281,6 +363,7 @@ def build_samples_device(
     window: int = USER_FEATURE_WINDOW,
     min_user_rating_count: int = 2,
     history_length: int = 5,
+    genre_chunk: int = GENRE_CHUNK,
 ) -> SampleTable:
     """Drop-in `build_samples` replacement computed on the accelerator.
 
@@ -289,7 +372,8 @@ def build_samples_device(
     from sparrowrecsys_tpu.data import feature_pipeline as fp
 
     dev = device_feature_columns(
-        ratings, catalog, window=window, history_length=history_length
+        ratings, catalog, window=window, history_length=history_length,
+        genre_chunk=genre_chunk,
     )
     host = jax.device_get(dev)
     cols: Dict[str, np.ndarray] = {}

@@ -73,6 +73,45 @@ class TestDevicePipelineParity:
             build_samples_device(ratings, catalog, history_length=16),
         )
 
+    def test_chunked_genre_stage_bit_exact(self, real_data):
+        # Force the lax.map halo path (production trigger: > 2M rows,
+        # where the direct [n, V] cumsum OOMs a 16 GB v5e at 20M events)
+        # with a chunk far smaller than the 22k-row sample. Must be
+        # bit-identical to the numpy pipeline, chunk boundaries included.
+        ratings, catalog = real_data
+        _assert_tables_equal(
+            build_samples(ratings, catalog),
+            build_samples_device(ratings, catalog, genre_chunk=1000),
+        )
+
+    def test_chunked_genre_stage_awkward_boundary(self):
+        # Chunk size NOT dividing n, single heavy user spanning many
+        # chunks (window must ride the halo across boundaries).
+        rng = np.random.default_rng(7)
+        n = 5003
+        from sparrowrecsys_tpu.data.movielens import Ratings
+
+        uid = np.sort(rng.integers(1, 8, n)).astype(np.int32)
+        ratings = Ratings(
+            user_ids=uid,
+            movie_ids=rng.integers(1, 40, n).astype(np.int32),
+            ratings=(rng.integers(1, 11, n) * 0.5).astype(np.float32),
+            timestamps=rng.permutation(n).astype(np.int64),
+        )
+        ids = np.arange(1, 41, dtype=np.int32)
+        catalog = MovieCatalog(
+            movie_ids=ids,
+            titles=[f"M{i}" for i in ids],
+            release_years=(1950 + ids % 70).astype(np.int32),
+            genres=[["Action", "Drama"] if i % 2 else ["Comedy"] for i in ids],
+            id_to_row={int(i): k for k, i in enumerate(ids)},
+            genre_index={},
+        )
+        _assert_tables_equal(
+            build_samples(ratings, catalog),
+            build_samples_device(ratings, catalog, genre_chunk=512),
+        )
+
     def test_device_columns_stay_on_device(self, real_data):
         import jax
 

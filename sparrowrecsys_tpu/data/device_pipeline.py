@@ -425,3 +425,101 @@ def build_samples_device(
 
     keep = cols["userRatingCount"] >= min_user_rating_count
     return SampleTable({k: v[keep] for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# Fully device-resident encode: device columns -> EncodedDataset of DEVICE
+# arrays, so the 20M-scale path (events -> features -> training) never
+# materializes a host table. Replaces the Spark-job -> CSV -> tf.data handoff
+# (`FeatureEngForRecModel.scala:195-212` -> `EmbeddingMLP.py:14-22`) with
+# arrays that stay in HBM end-to-end.
+# ---------------------------------------------------------------------------
+
+#: Stat columns the device carries SCALED by 10^NUMBER_PRECISION
+#: (integer-exact HALF_UP; see _round_half_up_scaled).
+_SCALED_STAT_COLUMNS = (
+    "movieAvgRating",
+    "movieRatingStddev",
+    "userAvgRating",
+    "userRatingStddev",
+    "userReleaseYearStddev",
+)
+
+
+@functools.partial(jax.jit, static_argnames=("min_count",))
+def _count_kept(user_rating_count: jnp.ndarray, *, min_count: int) -> jnp.ndarray:
+    return jnp.sum(user_rating_count >= min_count)
+
+
+@functools.partial(jax.jit, static_argnames=("min_count", "n_keep"))
+def _filter_gather(
+    sub: Dict[str, jnp.ndarray],
+    user_rating_count: jnp.ndarray,
+    *,
+    min_count: int,
+    n_keep: int,
+) -> Dict[str, jnp.ndarray]:
+    idx = jnp.nonzero(user_rating_count >= min_count, size=n_keep,
+                      fill_value=0)[0]
+    return {k: v[idx] for k, v in sub.items()}
+
+
+def encode_samples_device(
+    cols: Dict[str, jnp.ndarray],
+    min_user_rating_count: int = 2,
+    max_rows: int | None = None,
+):
+    """`encode_samples(build_samples(...))` without the host round-trip.
+
+    Takes `device_feature_columns` output and returns an EncodedDataset
+    whose arrays LIVE ON DEVICE — `Trainer.fit`'s resident epoch consumes
+    them directly (its packing/permute path is pure jnp). Exactly two
+    dispatches: a scalar kept-row count (the only device->host read) and
+    one static-shape filter-gather.
+
+    The five 2-dp stat columns are unscaled on device in f32; vs the host
+    pipeline's f64 divide that can differ by 1 ulp on round-half-up ties
+    (measured: 2 cells of 4915 x 5 on the bundled sample) — training-
+    irrelevant. The CSV/materialized path (`build_samples_device`) stays
+    bit-exact.
+
+    `max_rows` keeps the FIRST max_rows kept rows (same semantics as
+    `table.select(np.arange(max_rows))` on the host table)."""
+    from sparrowrecsys_tpu.data.dataset import (
+        EncodedDataset,
+        FLOAT_FEATURES,
+        GENRE_FEATURES,
+        INT_FEATURES,
+    )
+
+    n_keep = int(
+        _count_kept(cols["userRatingCount"], min_count=min_user_rating_count)
+    )
+    if max_rows is not None:
+        n_keep = min(n_keep, max_rows)
+
+    int_cols = list(INT_FEATURES) + sorted(
+        (
+            c
+            for c in cols
+            if c.startswith("userRatedMovie") and c not in INT_FEATURES
+        ),
+        key=lambda c: int(c[len("userRatedMovie"):]),
+    )
+    scale = jnp.float32(10.0 ** NUMBER_PRECISION)
+    sub: Dict[str, jnp.ndarray] = {}
+    for c in int_cols + GENRE_FEATURES:
+        sub[c] = cols[c].astype(jnp.int32)
+    for c in FLOAT_FEATURES:
+        v = cols[c].astype(jnp.float32)
+        sub[c] = v / scale if c in _SCALED_STAT_COLUMNS else v
+    sub["__label__"] = cols["label"].astype(jnp.float32)
+
+    out = _filter_gather(
+        sub,
+        cols["userRatingCount"],
+        min_count=min_user_rating_count,
+        n_keep=n_keep,
+    )
+    labels = out.pop("__label__")
+    return EncodedDataset(out, labels)

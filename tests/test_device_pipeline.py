@@ -121,3 +121,71 @@ class TestDevicePipelineParity:
         assert isinstance(lbl, jax.Array)
         # the f32 stat columns exist on device for pure-device consumers
         assert cols["movieAvgRating"].dtype == np.float32
+
+
+class TestEncodeSamplesDevice:
+    def test_matches_host_encode(self, real_data):
+        import jax
+
+        from sparrowrecsys_tpu.data.dataset import encode_samples
+        from sparrowrecsys_tpu.data.device_pipeline import (
+            encode_samples_device,
+        )
+
+        ratings, catalog = real_data
+        host = encode_samples(build_samples(ratings, catalog))
+        dev = encode_samples_device(device_feature_columns(ratings, catalog))
+        assert set(host.features) == set(dev.features)
+        assert len(host) == len(dev)
+        assert isinstance(dev.labels, jax.Array)
+        np.testing.assert_array_equal(host.labels, np.asarray(dev.labels))
+        for k, hv in host.features.items():
+            dv = np.asarray(dev.features[k])
+            assert dv.dtype == hv.dtype, k
+            if hv.dtype == np.float32:
+                # Device f32 moment math can flip a HALF_UP tie (one 0.01
+                # rounding step) on a handful of cells vs the host f64
+                # recompute; anything beyond that is a real bug.
+                diff = np.abs(dv - hv)
+                flipped = int(np.sum(diff > 1e-6))
+                assert diff.max() <= 0.01 + 1e-6, k
+                assert flipped <= max(2, len(hv) // 1000), (k, flipped)
+            else:
+                np.testing.assert_array_equal(dv, hv, err_msg=k)
+
+    def test_max_rows_matches_select(self, real_data):
+        from sparrowrecsys_tpu.data.dataset import encode_samples
+        from sparrowrecsys_tpu.data.device_pipeline import (
+            encode_samples_device,
+        )
+
+        ratings, catalog = real_data
+        table = build_samples(ratings, catalog)
+        host = encode_samples(table.select(np.arange(1000)))
+        dev = encode_samples_device(
+            device_feature_columns(ratings, catalog), max_rows=1000
+        )
+        assert len(dev) == 1000
+        np.testing.assert_array_equal(
+            host.features["movieId"], np.asarray(dev.features["movieId"])
+        )
+        np.testing.assert_array_equal(host.labels, np.asarray(dev.labels))
+
+    def test_trainer_fit_consumes_device_dataset(self, real_data):
+        from sparrowrecsys_tpu.config import TrainConfig
+        from sparrowrecsys_tpu.data.device_pipeline import (
+            encode_samples_device,
+        )
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.training.loop import Trainer
+
+        ratings, catalog = real_data
+        ds = encode_samples_device(
+            device_feature_columns(ratings, catalog), max_rows=2048
+        )
+        trainer = Trainer(
+            build_model("deepfm"),
+            TrainConfig(batch_size=512, epochs=1),
+        )
+        res = trainer.fit(ds, verbose=False)
+        assert np.isfinite(res.history[-1]["loss"])

@@ -47,9 +47,9 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     import jax.numpy as jnp
 
     from sparrowrecsys_tpu.ops.topk import (
-        APPROX_TOPK_MIN_ITEMS,
         cosine_topk,
         cosine_topk_auto,
+        topk_dispatch,
     )
 
     rng = np.random.default_rng(0)
@@ -72,12 +72,7 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     search_recall = float(
         np.mean([len(set(a) & set(e)) / k for a, e in zip(ia, ie)])
     )
-    mode = (
-        "approx_max_k"
-        if n_items >= APPROX_TOPK_MIN_ITEMS
-        and jax.default_backend() == "tpu"
-        else "exact"
-    )
+    mode = topk_dispatch(n_items)  # same rule cosine_topk_auto applied
     out = {
         "metric": "retrieval_topk_queries_per_sec",
         "value": round(n_queries * iters / best_dt, 1),

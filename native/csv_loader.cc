@@ -10,6 +10,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -251,6 +252,13 @@ int64_t load_table_csv(const char* path, const int32_t* kinds,
     }
   }
 
+  // Python-fallback parity (`dataset.load_samples_csv`): a row only needs
+  // fields up to the LAST sample column (kind != 0); trailing non-sample
+  // header columns may be absent from data rows.
+  int64_t required = 0;
+  for (int64_t c = 0; c < n_cols; ++c)
+    if (kinds[c] != 0) required = c + 1;
+
   const char* p = buf.data;
   const char* end = buf.data + buf.size;
   skip_to(p, end, '\n');  // header (column kinds were derived from it)
@@ -267,7 +275,10 @@ int64_t load_table_csv(const char* path, const int32_t* kinds,
       if (kind == 1 || kind == 2 || kind == 4) {
         const char* q = fs;
         double v = flen ? parse_float(q, fs + flen) : 0.0;
-        if (v == -1e300) v = 0.0;  // na/garbage -> 0 (_parse_float parity)
+        // na/garbage/trailing junk ('12abc')/overflow-to-inf -> 0,
+        // matching the Python fallback's full-string finite float()
+        // (_parse_float parity)
+        if (v == -1e300 || q != fs + flen || !std::isfinite(v)) v = 0.0;
         if (kind == 1)
           i32_out[i32_j++ * capacity + n] = static_cast<int32_t>(v);
         else if (kind == 2)
@@ -289,7 +300,10 @@ int64_t load_table_csv(const char* path, const int32_t* kinds,
         if (p < end && *p == ',') {
           ++p;
         } else {
-          ok = false;  // short row: skip (ignore_errors parity)
+          // Row ended early. Keep it if every sample column was present
+          // (only kind-0 trailing columns missing); else skip
+          // (ignore_errors parity).
+          ok = (c + 1 >= required);
           break;
         }
       }

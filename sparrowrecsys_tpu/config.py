@@ -134,6 +134,14 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_keep: int = 5        # reference keeps numbered versions 001..005 (MLPRec)
 
+    def __post_init__(self) -> None:
+        if self.shuffle_mode not in ("exact", "blocks"):
+            raise ValueError(
+                f"shuffle_mode={self.shuffle_mode!r}: expected 'exact' or "
+                "'blocks' (a typo here would silently train with the "
+                "default exact shuffle)"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class ServingConfig:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import math
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -39,12 +40,17 @@ FLOAT_FEATURES = list(NUMERIC_COLUMNS) + list(EXTRA_NUMERIC_COLUMNS)
 
 def _parse_float(s: str) -> float:
     # make_csv_dataset(na_value="0") turns missing numerics into 0.
+    # Non-finite tokens ('nan'/'inf') are also treated as garbage -> 0:
+    # float('nan') would poison downstream int() casts, and the native
+    # parser (which only accepts [+-]digits[.digits][eE...]) maps them to
+    # 0 — the two loaders must stay column-equal on the same file.
     if s == "" or s == "NULL" or s == "null":
         return 0.0
     try:
-        return float(s)
+        v = float(s)
     except ValueError:
         return 0.0
+    return v if math.isfinite(v) else 0.0
 
 
 def load_samples(path: str) -> SampleTable:

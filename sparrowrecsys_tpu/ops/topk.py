@@ -70,16 +70,22 @@ def cosine_topk_approx(
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
+def topk_dispatch(n_items: int) -> str:
+    """The auto-dispatch decision, exposed so benchmarks/labels can name
+    the kernel `cosine_topk_auto` will actually run (one source of truth
+    for the measured threshold)."""
+    if n_items >= APPROX_TOPK_MIN_ITEMS and jax.default_backend() == "tpu":
+        return "approx_max_k"
+    return "exact"
+
+
 def cosine_topk_auto(
     queries: jnp.ndarray, items: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Measured auto-dispatch: exact top-k at catalog sizes where the
     matmul dominates, `approx_max_k` beyond `APPROX_TOPK_MIN_ITEMS`
     (same discipline as ops/fm.py / ops/attention.py)."""
-    if (
-        items.shape[0] >= APPROX_TOPK_MIN_ITEMS
-        and jax.default_backend() == "tpu"
-    ):
+    if topk_dispatch(items.shape[0]) == "approx_max_k":
         return cosine_topk_approx(queries, items, k)
     return cosine_topk(queries, items, k)
 

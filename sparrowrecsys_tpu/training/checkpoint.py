@@ -85,6 +85,11 @@ def load_latest(model_dir: str, target: Any) -> Tuple[Any, int, dict]:
 # a resumed run replays the exact same batch schedule the uninterrupted
 # run would have used (asserted bitwise in tests/test_checkpoint.py).
 
+class NotATrainStateError(RuntimeError):
+    """The newest version dir holds a params-only export (no optimizer
+    state) — resuming from it would mean a silent cold start."""
+
+
 def save_train_state(
     params: Any,
     opt_state: Any,
@@ -113,7 +118,11 @@ def load_latest_train_state(
     vdir = os.path.join(state_dir, f"{v:03d}")
     opt_path = os.path.join(vdir, "opt_state.msgpack")
     if not os.path.exists(opt_path):
-        raise FileNotFoundError(
+        # Deliberately NOT FileNotFoundError: callers treat that as "no
+        # checkpoint yet -> cold start", but a params-only export under a
+        # --state-dir is a misconfiguration that must surface, not
+        # silently restart training from scratch.
+        raise NotATrainStateError(
             f"{vdir} has no opt_state.msgpack — it is a params-only export, "
             "not a train-state checkpoint"
         )

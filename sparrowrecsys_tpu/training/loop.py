@@ -330,7 +330,11 @@ class Trainer:
                 if verbose:
                     print(f"resumed train state at epoch {start_epoch}")
             except FileNotFoundError:
-                pass  # nothing saved yet: cold start
+                # No version dirs at all: first run, cold start. A
+                # params-only export raises NotATrainStateError instead
+                # and propagates — resuming "from" one would silently
+                # restart with fresh params.
+                pass
 
         ds_bytes = sum(v.nbytes for v in train.features.values()) + train.labels.nbytes
         resident = ds_bytes <= self.device_resident_bytes
@@ -356,6 +360,14 @@ class Trainer:
         self._timed_examples = 0
         self._t_steady = None  # set after the first (compiling) step returns
         n = len(train)
+        if cfg.shuffle_mode == "blocks":
+            padded = -(-n // batch_size) * batch_size
+            if padded % cfg.shuffle_block != 0:
+                print(
+                    f"shuffle_mode='blocks' requested but padded epoch size "
+                    f"{padded} is not a multiple of shuffle_block="
+                    f"{cfg.shuffle_block}; falling back to exact shuffle"
+                )
 
         def maybe_checkpoint(epoch_done: int) -> None:
             if not state_dir:

@@ -130,3 +130,26 @@ class TestTrainStateResume:
             ds, state_dir=str(tmp_path / "none"), resume=True, verbose=False
         )
         assert res.history  # trained from scratch without raising
+
+    def test_resume_from_params_only_export_raises(self, tmp_path):
+        # A params-only export under --state-dir is a misconfiguration:
+        # resuming must surface NotATrainStateError, NOT silently cold
+        # start with fresh params.
+        import pytest
+
+        from sparrowrecsys_tpu.config import TrainConfig
+        from sparrowrecsys_tpu.training.checkpoint import (
+            NotATrainStateError,
+            save,
+        )
+        from sparrowrecsys_tpu.training.loop import Trainer
+
+        ds = self._dataset()
+        cfg = TrainConfig(batch_size=64, epochs=1, seed=0)
+        t = Trainer(build_model("neuralcf"), cfg)
+        params = t.init_params(ds.features)
+        d = str(tmp_path / "export")
+        save(params, d)  # params.msgpack only, no opt_state
+        t2 = Trainer(build_model("neuralcf"), cfg)
+        with pytest.raises(NotATrainStateError):
+            t2.fit(ds, state_dir=d, resume=True, verbose=False)

@@ -140,3 +140,41 @@ def test_samples_python_fallback_short_rows_skipped(tmp_path):
     t = load_samples_csv(str(path))
     assert len(t) == 1
     assert t["movieId"][0] == 1 and t["userId"][0] == 2
+
+
+@needs_native
+def test_samples_native_python_agree_on_noncanonical(tmp_path):
+    """The fast path and the 'transparent fallback' must return the SAME
+    table on non-canonical inputs too: a header with extra trailing
+    non-sample columns whose data rows stop at the last sample column,
+    trailing-junk numerics ('12abc'), and 'nan'/'inf' tokens (all
+    garbage -> 0, never NaN)."""
+    from sparrowrecsys_tpu.data.dataset import load_samples_csv
+    from sparrowrecsys_tpu.data.schema import SAMPLE_COLUMNS
+    from sparrowrecsys_tpu.native import load_samples_native
+
+    header = ",".join(list(SAMPLE_COLUMNS) + ["extraA", "extraB"])
+    # full row including the extra columns
+    full = ("1,2,3.5,1000,1,1995,Action,,,10,3.50,0.5,0,0,0,0,0,5,1995,"
+            "0.1,3.2,0.4,Comedy,,,,,x,y")
+    # row that stops at the last sample column (csv fallback keeps it)
+    stops = ("3,4,4.0,1200,1,1990,Drama,,,7,4.00,0.2,0,0,0,0,0,3,1990,"
+             "0.2,4.0,0.3,Drama,,,,")
+    # garbage numerics: trailing junk + non-finite tokens
+    junk = ("12abc,6,nan,1400,1,inf,Action,,,1e400,3.00,0.1,0,0,0,0,0,2,"
+            "1985,0.0,3.0,0.0,Action,,,,")
+    # genuinely short row (missing sample columns): both must skip it
+    short = "9,9,1.0"
+    path = tmp_path / "s.csv"
+    path.write_text("\n".join([header, full, stops, junk, short]) + "\n")
+
+    a = load_samples_native(str(path))
+    b = load_samples_csv(str(path))
+    assert len(a) == len(b) == 3
+    for k in b.columns:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # '12abc' / 'nan' / 'inf' / '1e400' all parse to 0 in both loaders
+    assert a["movieId"][2] == 0
+    assert a["rating"][2] == 0.0
+    assert a["releaseYear"][2] == 0
+    assert a["movieRatingCount"][2] == 0

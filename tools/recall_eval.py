@@ -72,12 +72,18 @@ def leave_one_out_split(ratings):
 
 def recall_at_k(score_rows, test_pairs, seen, k: int) -> float:
     """score_rows: {user_id: [N_ITEMS] scores}. Seen train items are
-    masked out before the top-k."""
+    masked out before the top-k.
+
+    A test user the method produced NO score row for (e.g. item2vec with
+    no usable history) counts as a MISS, not a skip — every method is
+    scored over the identical test population, or the cross-method
+    comparison in recall.json breaks (the round-1 protocol bug)."""
     hits = total = 0
     for uu, mm in test_pairs:
+        total += 1
         s = score_rows.get(int(uu))
         if s is None:
-            continue
+            continue  # unscorable user: miss
         s = s.copy()
         sn = seen.get(int(uu))
         if sn is not None:
@@ -86,7 +92,6 @@ def recall_at_k(score_rows, test_pairs, seen, k: int) -> float:
             s[sn[sn < len(s)]] = -np.inf
         top = np.argpartition(-s, k)[:k]
         hits += int(mm in set(top.tolist()))
-        total += 1
     return hits / max(total, 1)
 
 
@@ -263,28 +268,10 @@ def eval_tuned_blend(train, test_pairs, seen, k):
     this is the honest 'beat popularity if the data allows it' retriever.
 
     Returns (test_recall, beta)."""
-    from sparrowrecsys_tpu.data.movielens import Ratings
-
-    # validation = each user's temporally-last train positive (>=2 needed)
-    u, m = train.user_ids, train.movie_ids
-    r, t = train.ratings, train.timestamps
-    pos = r >= POS_THRESHOLD
-    order = np.lexsort((t, u))
-    su = u[order]
-    starts = np.flatnonzero(np.concatenate([[True], su[1:] != su[:-1]]))
-    ends = np.concatenate([starts[1:], [len(su)]])
-    val_mask = np.zeros(len(u), bool)
-    for s, e in zip(starts, ends):
-        idx = order[s:e]
-        p = idx[pos[idx]]
-        if len(p) >= 2:
-            val_mask[p[-1]] = True
-    train2 = Ratings(u[~val_mask], m[~val_mask], r[~val_mask], t[~val_mask])
-    val_pairs = list(zip(u[val_mask].tolist(), m[val_mask].tolist()))
-    seen2: dict = {}
-    for uu, mm in zip(u[~val_mask], m[~val_mask]):
-        seen2.setdefault(int(uu), []).append(int(mm))
-    seen2 = {kk: np.unique(v) for kk, v in seen2.items()}
+    # validation = the same per-user last-train-positive protocol as the
+    # test split, applied to the train subset (ONE split implementation:
+    # a protocol change there changes both splits together).
+    train2, val_pairs, seen2 = leave_one_out_split(train)
 
     betas = (0.0, 0.1, 0.25, 0.5, 1.0, 2.0, 4.0)
 

@@ -105,11 +105,18 @@ class DIEN(nn.Module):
         t = self.recent_movies
         hist_ids = history_stack(features, t)                       # [B, T]
         hist_mask = hist_ids > 0
-        cand = movie_emb(features["movieId"])                       # [B, D]
-        hist = movie_emb(hist_ids)                                  # [B, T, D]
-        neg = movie_emb(
-            jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
-        )                                                            # [B, T-1, D]
+        # Candidate + history + negative history ride ONE [B, 2T] gather
+        # of the shared table instead of three (see din.py / features.py
+        # merged_embed_bias rationale; bitwise identical).
+        neg_ids = jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
+        chn = movie_emb(
+            jnp.concatenate(
+                [features["movieId"][:, None], hist_ids, neg_ids], axis=1
+            )
+        )                                                            # [B, 2T, D]
+        cand = chn[:, 0]
+        hist = chn[:, 1 : t + 1]
+        neg = chn[:, t + 1 :]
 
         # Masked GRU: padded steps carry state (Keras mask_zero parity).
         hidden = gru(self._gru_params("gru", d, d), hist, hist_mask)  # [B, T, D]

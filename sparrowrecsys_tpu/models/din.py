@@ -55,10 +55,20 @@ class DIN(nn.Module):
         movie_emb = IdEmbed(
             self.movie_buckets, self.dim, mask_zero=True, name="emb_movie_shared"
         )
-        cand = movie_emb(features["movieId"])          # [B, D]
-        hist = movie_emb(
-            history_stack(features, self.recent_movies)
-        )                                              # [B, T, D]
+        # Candidate rides the history gather: ONE [B, T+1] lookup of the
+        # shared table instead of two (random gathers are the step's cost
+        # on TPU — see merged_embed_bias in features.py; bitwise
+        # identical, both lookups were mask_zero through this module).
+        ch = movie_emb(
+            jnp.concatenate(
+                [
+                    features["movieId"][:, None],
+                    history_stack(features, self.recent_movies),
+                ],
+                axis=1,
+            )
+        )                                              # [B, T+1, D]
+        cand, hist = ch[:, 0], ch[:, 1:]
 
         w1 = self.param(
             "att_w1", nn.initializers.lecun_normal(), (4 * self.dim, self.attention_hidden)

@@ -189,3 +189,63 @@ class TestEncodeSamplesDevice:
         )
         res = trainer.fit(ds, verbose=False)
         assert np.isfinite(res.history[-1]["loss"])
+
+
+class TestDevicePipelineSharded:
+    """The feature plane scales multi-chip: events sharded over the data
+    axis flow through the same jitted program (XLA inserts the sort /
+    segment collectives), and the resident encode feeds the sharded
+    trainer end-to-end — no host table anywhere."""
+
+    def test_device_columns_from_sharded_events(self, real_data):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sparrowrecsys_tpu.config import MeshConfig
+        from sparrowrecsys_tpu.parallel.mesh import build_mesh
+
+        ratings, catalog = real_data
+        plan = build_mesh(MeshConfig(model_parallel=1))
+        # truncate to a device-divisible event count (demo simplicity)
+        n = len(ratings.user_ids)
+        n -= n % plan.mesh.devices.size
+        from sparrowrecsys_tpu.data.movielens import Ratings
+
+        sub = Ratings(
+            ratings.user_ids[:n], ratings.movie_ids[:n],
+            ratings.ratings[:n], ratings.timestamps[:n],
+        )
+        host = build_samples(sub, catalog)
+
+        sharding = NamedSharding(plan.mesh, P(plan.data_axis))
+        shard = lambda x: jax.device_put(x, sharding)  # noqa: E731
+        sub_sharded = Ratings(
+            shard(sub.user_ids.astype(np.int32)),
+            shard(sub.movie_ids.astype(np.int32)),
+            shard(sub.ratings.astype(np.float32)),
+            shard(sub.timestamps),
+        )
+        dev = build_samples_device(sub_sharded, catalog)
+        _assert_tables_equal(host, dev)
+
+    def test_sharded_trainer_consumes_device_dataset(self, real_data):
+        from sparrowrecsys_tpu.config import MeshConfig, TrainConfig
+        from sparrowrecsys_tpu.data.device_pipeline import (
+            encode_samples_device,
+        )
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.parallel.mesh import build_mesh
+        from sparrowrecsys_tpu.training.loop import Trainer
+
+        ratings, catalog = real_data
+        ds = encode_samples_device(
+            device_feature_columns(ratings, catalog), max_rows=2048
+        )
+        plan = build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+        trainer = Trainer(
+            build_model("deepfm"),
+            TrainConfig(batch_size=512, epochs=1),
+            plan=plan,
+        )
+        res = trainer.fit(ds, verbose=False)
+        assert np.isfinite(res.history[-1]["loss"])

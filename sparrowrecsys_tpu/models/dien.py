@@ -69,6 +69,16 @@ class DIEN(nn.Module):
     #: behaviour-sequence length (5 = reference parity; the GRU/AUGRU are
     #: lax.scan, so any T compiles without unrolling)
     recent_movies: int = 5
+    #: candidate+history+negatives as one [B, 2T] gather of the shared table
+    #: vs three separate gathers. Bitwise-identical outputs, but measured
+    #: 23% SLOWER in the full train step (tools/step_exp11.py, v5e, batch
+    #: 65536: 11.55 vs 9.35 ms/step) — the [B, 2T, D] result feeds three
+    #: differently-shaped consumers (GRU xs, aux shift, AUGRU) and its
+    #: backward concentrates into one wide scatter, which XLA schedules
+    #: worse than the three fused lookups. Default stays False; DIN keeps
+    #: its merged [B, T+1] gather (measured +1.6% there, where candidate
+    #: and history feed the same attention block).
+    merged_gather: bool = False
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -105,18 +115,23 @@ class DIEN(nn.Module):
         t = self.recent_movies
         hist_ids = history_stack(features, t)                       # [B, T]
         hist_mask = hist_ids > 0
-        # Candidate + history + negative history ride ONE [B, 2T] gather
-        # of the shared table instead of three (see din.py / features.py
-        # merged_embed_bias rationale; bitwise identical).
+        # Candidate + history + negative history can ride ONE [B, 2T]
+        # gather of the shared table instead of three (see din.py /
+        # features.py merged_embed_bias rationale; bitwise identical).
         neg_ids = jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
-        chn = movie_emb(
-            jnp.concatenate(
-                [features["movieId"][:, None], hist_ids, neg_ids], axis=1
-            )
-        )                                                            # [B, 2T, D]
-        cand = chn[:, 0]
-        hist = chn[:, 1 : t + 1]
-        neg = chn[:, t + 1 :]
+        if self.merged_gather:
+            chn = movie_emb(
+                jnp.concatenate(
+                    [features["movieId"][:, None], hist_ids, neg_ids], axis=1
+                )
+            )                                                        # [B, 2T, D]
+            cand = chn[:, 0]
+            hist = chn[:, 1 : t + 1]
+            neg = chn[:, t + 1 :]
+        else:
+            cand = movie_emb(features["movieId"])                    # [B, D]
+            hist = movie_emb(hist_ids)                               # [B, T, D]
+            neg = movie_emb(neg_ids)                                 # [B, T-1, D]
 
         # Masked GRU: padded steps carry state (Keras mask_zero parity).
         hidden = gru(self._gru_params("gru", d, d), hist, hist_mask)  # [B, T, D]

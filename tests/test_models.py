@@ -97,6 +97,23 @@ def test_dien_trains_with_aux_loss(ds):
     assert res.eval_metrics["roc_auc"] > 0.6
 
 
+def test_dien_merged_gather_bitwise_identical(ds):
+    """merged_gather only restructures the movie-table lookup — same params,
+    bitwise-equal (logits, aux) either way."""
+    d = add_dien_negatives(ds, seed=2020)
+    feats = {k: jnp.asarray(v[:32]) for k, v in d.features.items()}
+    merged = build_model("dien", merged_gather=True)
+    split = build_model("dien", merged_gather=False)
+    params = merged.init(jax.random.PRNGKey(0), feats)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(
+        split.init(jax.random.PRNGKey(0), feats)["params"]
+    )
+    lm, am = merged.apply({"params": params}, feats)
+    ls, as_ = split.apply({"params": params}, feats)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(as_))
+
+
 def test_trainer_eval_matches_prediction_order(ds):
     model = build_model("neuralcf")
     tr = Trainer(model, TrainConfig(batch_size=100, epochs=1))

@@ -98,12 +98,9 @@ def skipgram_pairs(
     return c.astype(np.int32), x.astype(np.int32), vocab_ids, counts
 
 
-def _sgns_math(emb_in, emb_out, centers, contexts, neg_cdf, key, negatives, lr):
-    b = centers.shape[0]
+def _sgns_math(emb_in, emb_out, centers, contexts, neg_idx, lr):
     u = jnp.take(emb_in, centers, axis=0)            # [B, D]
     v_pos = jnp.take(emb_out, contexts, axis=0)      # [B, D]
-    r = jax.random.uniform(key, (b, negatives))
-    neg_idx = jnp.searchsorted(neg_cdf, r)           # [B, N] unigram^0.75
     v_neg = jnp.take(emb_out, neg_idx, axis=0)       # [B, N, D]
 
     pos_logit = jnp.sum(u * v_pos, axis=-1)          # [B]
@@ -177,13 +174,21 @@ def _sgns_epoch(
     perm = perm[: steps * batch_size]
     c_all = jnp.take(centers, perm, axis=0).reshape(steps, batch_size)
     x_all = jnp.take(contexts, perm, axis=0).reshape(steps, batch_size)
+    # Negative sampling stays IN the scan body: hoisting it out (one
+    # vmapped threefry + searchsorted over [S, B, N], same keys, bit-
+    # identical) measured 17% SLOWER (tools/sgns_exp2.py, v5e: 0.577 vs
+    # 0.493 ms/step) — in-scan RNG overlaps with the step's gathers and
+    # matmuls, while the hoisted version serializes the whole sampling
+    # pass ahead of the scan inside the same dispatch.
     step_keys = jax.random.split(kscan, steps)
 
     def body(carry, x):
         ei, eo, t = carry
         c, cx, k = x
         lr = lr0 * jnp.maximum(1.0 - t / total_steps, 1e-4)
-        ei, eo, _ = _sgns_math(ei, eo, c, cx, neg_cdf, k, negatives, lr)
+        r = jax.random.uniform(k, (batch_size, negatives))
+        neg = jnp.searchsorted(neg_cdf, r)           # [B, N] unigram^0.75
+        ei, eo, _ = _sgns_math(ei, eo, c, cx, neg, lr)
         return (ei, eo, t + 1.0), None
 
     (emb_in, emb_out, _), _ = jax.lax.scan(

@@ -26,19 +26,30 @@ class SyntheticSpec:
     n_movies: int = 27_000
     n_events: int = 1_000_000  # dial up for 20M-class runs
     latent_dim: int = 8
+    #: per-user / per-movie rating-bias scales. Real MovieLens has strong
+    #: marginal structure (grumpy raters, acclaimed movies) — without it
+    #: every engineered movie/user statistic is pure noise by construction
+    #: and the only learnable signal is the factorization itself, which
+    #: caps at-scale AUC near chance (the r1 run's 0.528). 0.5/0.4 puts
+    #: the marginal:interaction variance ratio in MovieLens' ballpark.
+    user_bias_scale: float = 0.5
+    movie_bias_scale: float = 0.4
     seed: int = 7
 
 
 def synthetic_ratings(spec: SyntheticSpec = SyntheticSpec()) -> Ratings:
-    """Events drawn from a planted low-rank preference model: user/item
-    latent factors -> rating ~ clipped affine of the dot product."""
+    """Events drawn from a planted biased low-rank preference model:
+    rating ~ clipped affine of (user bias + movie bias + latent dot)."""
     rng = np.random.default_rng(spec.seed)
     uf = rng.normal(size=(spec.n_users, spec.latent_dim)).astype(np.float32)
     vf = rng.normal(size=(spec.n_movies, spec.latent_dim)).astype(np.float32)
+    ub = (spec.user_bias_scale * rng.normal(size=spec.n_users)).astype(np.float32)
+    mb = (spec.movie_bias_scale * rng.normal(size=spec.n_movies)).astype(np.float32)
     u = rng.integers(1, spec.n_users + 1, spec.n_events).astype(np.int32)
     m = rng.integers(1, spec.n_movies + 1, spec.n_events).astype(np.int32)
     affinity = np.einsum("nd,nd->n", uf[u - 1], vf[m - 1]) / np.sqrt(spec.latent_dim)
-    r = np.clip(np.round((3.0 + affinity + 0.3 * rng.normal(size=spec.n_events)) * 2) / 2, 0.5, 5.0)
+    score = 3.0 + ub[u - 1] + mb[m - 1] + affinity
+    r = np.clip(np.round((score + 0.3 * rng.normal(size=spec.n_events)) * 2) / 2, 0.5, 5.0)
     t = rng.integers(1_000_000_000, 1_600_000_000, spec.n_events).astype(np.int64)
     return Ratings(u, m, r.astype(np.float32), t)
 

@@ -44,8 +44,14 @@ class ALSModel:
     item_factors: np.ndarray # [I, k]
 
     def _rows(self, ids: np.ndarray, ext: np.ndarray) -> np.ndarray:
-        lut = {int(v): i for i, v in enumerate(ids)}
-        return np.array([lut.get(int(v), -1) for v in ext], np.int64)
+        # ids come sorted from np.unique; vectorized membership via
+        # searchsorted (a Python dict per call is ~100x slower at the
+        # 20M-event scale tools/als_scale.py drives).
+        if len(ids) == 0:
+            return np.full(len(ext), -1, np.int64)
+        idx = np.searchsorted(ids, ext)
+        idx = np.minimum(idx, len(ids) - 1)
+        return np.where(ids[idx] == ext, idx, -1).astype(np.int64)
 
     def predict(self, user_ids: np.ndarray, item_ids: np.ndarray) -> np.ndarray:
         """Dot-product predictions; NaN for unseen users/items (Spark's
@@ -108,6 +114,13 @@ class ALSModel:
         return {int(u): all_recs[int(u)] for u in users if int(u) in all_recs}
 
 
+#: Above this many ratings the [N, k, k] outer-product temporary (8 GB at
+#: 20M x rank 10) would blow HBM; accumulate the normal equations chunk-
+#: at-a-time instead (same lax.scan halo-free pattern as the device
+#: feature pipeline's genre stage). 4M x 10 x 10 fp32 = 1.6 GB peak.
+ALS_CHUNK_EVENTS = 4_000_000
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def _solve_side(
     fixed: jnp.ndarray,       # [M, k] fixed-side factors
@@ -126,11 +139,57 @@ def _solve_side(
     gram = jax.ops.segment_sum(outer, row_idx, n_rows)       # [R, k, k]
     rhs = jax.ops.segment_sum(values[:, None] * f, row_idx, n_rows)
     counts = jax.ops.segment_sum(jnp.ones_like(values), row_idx, n_rows)
-    eye = jnp.eye(k, dtype=fixed.dtype)
+    return _solve_rows(gram, rhs, counts, reg, fixed.dtype)
+
+
+def _solve_rows(gram, rhs, counts, reg, dtype):
+    k = gram.shape[-1]
+    eye = jnp.eye(k, dtype=dtype)
     # ALS-WR: lambda scaled by each row's rating count (Spark semantics);
     # empty rows get identity systems -> zero solution via zero rhs.
     a = gram + (reg * jnp.maximum(counts, 1.0))[:, None, None] * eye
     return jnp.linalg.solve(a, rhs[:, :, None])[:, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_chunks"))
+def _solve_side_chunked(
+    fixed: jnp.ndarray,
+    row_idx: jnp.ndarray,     # [C * chunk] (tail padded, values masked 0)
+    col_idx: jnp.ndarray,
+    values: jnp.ndarray,
+    valid: jnp.ndarray,       # [C * chunk] 0/1 padding mask
+    reg: float,
+    n_rows: int,
+    n_chunks: int,
+) -> jnp.ndarray:
+    """Same math as `_solve_side`, accumulating (gram, rhs, counts) over
+    event chunks so the [chunk, k, k] outer products bound peak HBM.
+    Bit-comparable up to f32 summation order."""
+    k = fixed.shape[1]
+    shape = (n_chunks, -1)
+    xs = (
+        row_idx.reshape(shape), col_idx.reshape(shape),
+        values.reshape(shape), valid.reshape(shape),
+    )
+    init = (
+        jnp.zeros((n_rows, k, k), fixed.dtype),
+        jnp.zeros((n_rows, k), fixed.dtype),
+        jnp.zeros((n_rows,), fixed.dtype),
+    )
+
+    def body(carry, x):
+        gram, rhs, counts = carry
+        ri, ci, v, m = x
+        f = jnp.take(fixed, ci, axis=0) * m[:, None]         # padded -> 0
+        gram = gram + jax.ops.segment_sum(
+            f[:, :, None] * f[:, None, :], ri, n_rows
+        )
+        rhs = rhs + jax.ops.segment_sum((v * m)[:, None] * f, ri, n_rows)
+        counts = counts + jax.ops.segment_sum(m, ri, n_rows)
+        return (gram, rhs, counts), None
+
+    (gram, rhs, counts), _ = jax.lax.scan(body, init, xs)
+    return _solve_rows(gram, rhs, counts, reg, fixed.dtype)
 
 
 def train_als(ratings: Ratings, config: ALSConfig = ALSConfig()) -> ALSModel:
@@ -145,6 +204,29 @@ def train_als(ratings: Ratings, config: ALSConfig = ALSConfig()) -> ALSModel:
     # small positive init converges identically for this problem size.
     uf = jax.random.uniform(ku, (n_u, k), jnp.float32, 0.0, 1.0) / np.sqrt(k)
     vf = jax.random.uniform(ki, (n_i, k), jnp.float32, 0.0, 1.0) / np.sqrt(k)
+
+    n = len(ratings)
+    if n > ALS_CHUNK_EVENTS:
+        n_chunks = -(-n // ALS_CHUNK_EVENTS)
+        pad = n_chunks * ALS_CHUNK_EVENTS - n
+        u_idx_j = jnp.asarray(np.pad(u_idx, (0, pad)).astype(np.int32))
+        i_idx_j = jnp.asarray(np.pad(i_idx, (0, pad)).astype(np.int32))
+        vals = jnp.asarray(
+            np.pad(ratings.ratings.astype(np.float32), (0, pad))
+        )
+        valid = jnp.asarray(
+            np.pad(np.ones(n, np.float32), (0, pad))
+        )
+        for _ in range(config.max_iter):
+            uf = _solve_side_chunked(
+                vf, u_idx_j, i_idx_j, vals, valid,
+                config.reg_param, n_u, n_chunks,
+            )
+            vf = _solve_side_chunked(
+                uf, i_idx_j, u_idx_j, vals, valid,
+                config.reg_param, n_i, n_chunks,
+            )
+        return ALSModel(user_ids, item_ids, np.asarray(uf), np.asarray(vf))
 
     u_idx_j = jnp.asarray(u_idx)
     i_idx_j = jnp.asarray(i_idx)

@@ -74,6 +74,22 @@ def test_recommend_subset(split):
     assert len(subset[1]) == 5
 
 
+def test_chunked_solve_matches_direct(split, monkeypatch):
+    """The >4M-event chunked normal-equation accumulation is the same math
+    as the single-shot solve (f32 summation order aside)."""
+    import sparrowrecsys_tpu.models.als as als_mod
+
+    train, _ = split
+    direct = train_als(train, ALSConfig(max_iter=2))
+    monkeypatch.setattr(als_mod, "ALS_CHUNK_EVENTS", 64)  # force many chunks
+    chunked = train_als(train, ALSConfig(max_iter=2))
+    # Factors drift by f32 summation order over iterations; the identified
+    # quantity is the prediction surface.
+    pd = direct.predict(train.user_ids, train.movie_ids)
+    pc = chunked.predict(train.user_ids, train.movie_ids)
+    np.testing.assert_allclose(pd, pc, rtol=0, atol=5e-3)
+
+
 def test_cross_validate_returns_grid(split):
     train, _ = split
     out = cross_validate(train, ALSConfig(rank=4, max_iter=3), reg_grid=(0.01,),

@@ -152,11 +152,29 @@ def main() -> None:
         plan=plan,
     )
     trainer.device_resident_bytes = 8 << 30
+    # Held-out eval (random split like the reference's 80/20,
+    # FeatureEngForRecModel.scala:195-212 — rows arrive grouped by user,
+    # so a tail split would make every eval user cold): train AUC alone
+    # can't distinguish learning from memorization at this scale.
+    from sparrowrecsys_tpu.data.dataset import EncodedDataset
+
+    n_rows = len(ds)
+    n_test = min(500_000, n_rows // 10)
+    perm = np.random.default_rng(0).permutation(n_rows)
+    te, tr_idx = perm[:n_test], perm[n_test:]
+    ds_test = EncodedDataset(
+        {k: v[te] for k, v in ds.features.items()}, ds.labels[te]
+    )
+    ds = EncodedDataset(
+        {k: v[tr_idx] for k, v in ds.features.items()}, ds.labels[tr_idx]
+    )
     t0 = time.perf_counter()
-    res = trainer.fit(ds, verbose=False)
+    res = trainer.fit(ds, test=ds_test, verbose=False)
     out["train_s"] = round(time.perf_counter() - t0, 1)
     out["train_examples_per_sec"] = round(res.examples_per_sec, 1)
     out["final_roc_auc"] = round(res.history[-1]["roc_auc"], 4)
+    out["eval_roc_auc"] = round(res.eval_metrics["roc_auc"], 4)
+    out["eval_rows"] = int(n_test)
     out["backend"] = jax.devices()[0].platform
     print(json.dumps(out), flush=True)
 

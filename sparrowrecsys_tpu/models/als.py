@@ -114,11 +114,22 @@ class ALSModel:
         return {int(u): all_recs[int(u)] for u in users if int(u) in all_recs}
 
 
-#: Above this many ratings the [N, k, k] outer-product temporary (8 GB at
-#: 20M x rank 10) would blow HBM; accumulate the normal equations chunk-
-#: at-a-time instead (same lax.scan halo-free pattern as the device
-#: feature pipeline's genre stage). 4M x 10 x 10 fp32 = 1.6 GB peak.
+#: Above this many ratings the [N, k*k] outer-product temporary would
+#: blow HBM; accumulate the normal equations chunk-at-a-time instead
+#: (same lax.scan pattern as the device feature pipeline's genre stage).
+#: 4M x 100 fp32 pads to 4M x 128 = 2 GB peak per chunk.
 ALS_CHUNK_EVENTS = 4_000_000
+
+
+def _outer2d(f: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise outer products flattened to [N, k*k]. A [N, k, k] shape
+    would tile-pad to (8, 128) on the LAST TWO dims on TPU — 20x memory
+    at rank 10 (measured: f32[4M,10,10] allocates 32.7 GB) — so the k x k
+    plane stays flattened until after the segment reduction."""
+    k = f.shape[1]
+    ia = jnp.repeat(jnp.arange(k), k)
+    ib = jnp.tile(jnp.arange(k), k)
+    return f[:, ia] * f[:, ib]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -135,11 +146,10 @@ def _solve_side(
     """
     k = fixed.shape[1]
     f = jnp.take(fixed, col_idx, axis=0)                     # [N, k]
-    outer = f[:, :, None] * f[:, None, :]                    # [N, k, k]
-    gram = jax.ops.segment_sum(outer, row_idx, n_rows)       # [R, k, k]
+    gram = jax.ops.segment_sum(_outer2d(f), row_idx, n_rows)  # [R, k*k]
     rhs = jax.ops.segment_sum(values[:, None] * f, row_idx, n_rows)
     counts = jax.ops.segment_sum(jnp.ones_like(values), row_idx, n_rows)
-    return _solve_rows(gram, rhs, counts, reg, fixed.dtype)
+    return _solve_rows(gram.reshape(n_rows, k, k), rhs, counts, reg, fixed.dtype)
 
 
 def _solve_rows(gram, rhs, counts, reg, dtype):
@@ -172,7 +182,7 @@ def _solve_side_chunked(
         values.reshape(shape), valid.reshape(shape),
     )
     init = (
-        jnp.zeros((n_rows, k, k), fixed.dtype),
+        jnp.zeros((n_rows, k * k), fixed.dtype),  # flat: see _outer2d
         jnp.zeros((n_rows, k), fixed.dtype),
         jnp.zeros((n_rows,), fixed.dtype),
     )
@@ -181,15 +191,13 @@ def _solve_side_chunked(
         gram, rhs, counts = carry
         ri, ci, v, m = x
         f = jnp.take(fixed, ci, axis=0) * m[:, None]         # padded -> 0
-        gram = gram + jax.ops.segment_sum(
-            f[:, :, None] * f[:, None, :], ri, n_rows
-        )
+        gram = gram + jax.ops.segment_sum(_outer2d(f), ri, n_rows)
         rhs = rhs + jax.ops.segment_sum((v * m)[:, None] * f, ri, n_rows)
         counts = counts + jax.ops.segment_sum(m, ri, n_rows)
         return (gram, rhs, counts), None
 
     (gram, rhs, counts), _ = jax.lax.scan(body, init, xs)
-    return _solve_rows(gram, rhs, counts, reg, fixed.dtype)
+    return _solve_rows(gram.reshape(n_rows, k, k), rhs, counts, reg, fixed.dtype)
 
 
 def train_als(ratings: Ratings, config: ALSConfig = ALSConfig()) -> ALSModel:

@@ -106,31 +106,35 @@ def augru(
     deliberately; zeros is the conventional choice and AUC-equivalent).
     """
 
-    # Hoist the three input projections out of the recurrence (one
-    # batched MXU matmul each over all T steps); only the h-dependent
-    # recurrent matmuls stay inside the scan.
-    xr_all = states @ params.r.w + params.r.b  # [B, T, H]
-    xz_all = states @ params.z.w + params.z.b
-    xh_all = states @ params.h.w + params.h.b
+    b, t, hdim = states.shape
+    # Hoist the three input projections out of the recurrence AS ONE
+    # matmul: the MXU pads K to 128 lanes, so at H=10 separate per-gate
+    # matmuls each waste ~12x of the array — fold to [B, T, H] @ [H, 3H]
+    # (same lesson as the DIN attention refold, tools/din_exp.py). Inside
+    # the scan the r/z recurrent matmuls merge the same way; h_tilde's
+    # stays separate (it consumes h*z, not h). Identical per-element
+    # reductions — same numbers.
+    wx = jnp.concatenate([params.r.w, params.z.w, params.h.w], axis=1)
+    bx = jnp.concatenate([params.r.b, params.z.b, params.h.b])
+    x_all = states @ wx + bx                       # [B, T, 3H]
+    u_rz = jnp.concatenate([params.r.u, params.z.u], axis=1)  # [H, 2H]
 
     def step(h, inp):
-        xr, xz, xh, at = inp
-        r = jax.nn.sigmoid(xr + h @ params.r.u)
-        z = jax.nn.sigmoid(xz + h @ params.z.u)
+        x, at = inp
+        xr, xz, xh = jnp.split(x, 3, axis=-1)
+        rz = h @ u_rz
+        r = jax.nn.sigmoid(xr + rz[:, :hdim])
+        z = jax.nn.sigmoid(xz + rz[:, hdim:])
         h_tilde = jnp.tanh(xh + (h * z) @ params.h.u)
         a = at * r
         h_new = (1.0 - a) * h + a * h_tilde
         return h_new, None
 
-    b, t, hdim = states.shape
     h0 = jnp.zeros((b, hdim), states.dtype)
     h_fin, _ = jax.lax.scan(
         step,
         h0,
-        tuple(
-            jnp.swapaxes(v, 0, 1)
-            for v in (xr_all, xz_all, xh_all, attention)
-        ),
+        tuple(jnp.swapaxes(v, 0, 1) for v in (x_all, attention)),
         unroll=min(t, 8),
     )
     return h_fin

@@ -34,7 +34,9 @@ from sparrowrecsys_tpu.models.features import (
     GenreEmbed,
     IdBias,
     IdEmbed,
+    LinParams,
     compute_dtype,
+    folded_projections,
     merged_embed_bias,
     numeric_stack,
 )
@@ -139,17 +141,23 @@ class DeepFMv2(nn.Module):
             + nn.Dense(1, name="first_deep")(numerics)[..., 0]
         )
 
-        # Per-field Dense(64) projections -> [B, 5, 64] (DeepFM_v2.py:107-128).
-        fields = jnp.stack(
-            [
-                nn.Dense(self.field_dim, name="proj_itemGenre")(item_genre),
-                nn.Dense(self.field_dim, name="proj_item")(item),
-                nn.Dense(self.field_dim, name="proj_userGenre")(user_genre),
-                nn.Dense(self.field_dim, name="proj_user")(user),
-                nn.Dense(self.field_dim, name="proj_numeric")(numerics),
-            ],
-            axis=1,
-        )
+        # Per-field Dense(64) projections -> [B, 5, 64] (DeepFM_v2.py:107-128),
+        # folded into ONE block-diagonal matmul: five K<=10 nn.Dense calls
+        # each waste the MXU's 128-lane K padding — the fold measured +3.9%
+        # on the full train step (tools/fold_exp.py). Param paths/inits are
+        # nn.Dense's exactly (LinParams), so checkpoints and seed-pinned
+        # bands are unchanged; outputs bitwise-equal (asserted in
+        # tests/test_models.py::test_deepfm_v2_folded_projection_math).
+        xs = [item_genre, item, user_genre, user, numerics]
+        kbs = [
+            LinParams(x.shape[-1], self.field_dim, name=n)()
+            for n, x in zip(
+                ("proj_itemGenre", "proj_item", "proj_userGenre",
+                 "proj_user", "proj_numeric"),
+                xs,
+            )
+        ]
+        fields = folded_projections(xs, kbs, self.field_dim)
 
         fm = fm_cross(fields)  # [B, 64]
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sparrowrecsys_tpu.config import EMBEDDING_DIM, GENRE_VOCAB
@@ -153,3 +154,42 @@ class PReLU(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
         return jnp.where(x >= 0, x, alpha * x)
+
+
+class LinParams(nn.Module):
+    """nn.Dense's parameters (identical paths, shapes, default inits — so
+    checkpoints and seed-pinned parity bands are preserved bitwise) WITHOUT
+    applying the matmul: callers fold several small projections into one
+    block-diagonal matmul. The MXU pads K and N to 128 lanes, so N separate
+    K~10 matmuls waste the array N-fold; one concat(x) @ block-diag(W)
+    computes the same numbers (the zero blocks contribute exact 0.0 terms)
+    in a single matmul — measured +3.9% on the full DeepFM v2 train step
+    and +3.7%/+3.0% for the DIN attention / AUGRU equivalents
+    (tools/fold_exp.py, din_exp.py, augru_exp.py)."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def folded_projections(xs, kbs, field_dim: int):
+    """concat(xs) @ block-diag(kernels) + concat(biases) -> [B, F, field_dim].
+
+    xs: per-field inputs [B, K_f]; kbs: matching (kernel [K_f, field_dim],
+    bias [field_dim]) pairs from `LinParams`."""
+    total_k = sum(x.shape[-1] for x in xs)
+    w = jnp.zeros((total_k, len(xs) * field_dim), jnp.float32)
+    r = 0
+    for i, (k, _) in enumerate(kbs):
+        w = jax.lax.dynamic_update_slice(w, k, (r, i * field_dim))
+        r += k.shape[0]
+    bias = jnp.concatenate([b for _, b in kbs])
+    xcat = jnp.concatenate(xs, axis=-1)
+    return (xcat @ w + bias).reshape(-1, len(xs), field_dim)

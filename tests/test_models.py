@@ -114,6 +114,36 @@ def test_dien_merged_gather_bitwise_identical(ds):
     np.testing.assert_array_equal(np.asarray(am), np.asarray(as_))
 
 
+def test_deepfm_v2_folded_projection_math(ds):
+    """The block-diag field projection equals per-field x @ kernel + bias
+    computed from the SAME params (LinParams preserves nn.Dense's paths)."""
+    from sparrowrecsys_tpu.models.features import folded_projections
+
+    rng = np.random.default_rng(3)
+    xs = [
+        jnp.asarray(rng.normal(size=(16, k)).astype(np.float32))
+        for k in (10, 10, 10, 10, 7)
+    ]
+    kbs = [
+        (
+            jnp.asarray(rng.normal(size=(x.shape[-1], 64)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+        )
+        for x in xs
+    ]
+    folded = folded_projections(xs, kbs, 64)
+    ref = jnp.stack([x @ k + b for x, (k, b) in zip(xs, kbs)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(ref), rtol=0, atol=1e-5
+    )
+    # And the model's param tree still carries nn.Dense-shaped entries.
+    model = build_model("deepfm_v2")
+    feats = {k: jnp.asarray(v[:8]) for k, v in ds.features.items()}
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+    assert params["proj_item"]["kernel"].shape == (10, 64)
+    assert params["proj_numeric"]["bias"].shape == (64,)
+
+
 def test_trainer_eval_matches_prediction_order(ds):
     model = build_model("neuralcf")
     tr = Trainer(model, TrainConfig(batch_size=100, epochs=1))

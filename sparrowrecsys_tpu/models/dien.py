@@ -36,7 +36,9 @@ from sparrowrecsys_tpu.config import EMBEDDING_DIM, MOVIE_VOCAB_SIZE, USER_VOCAB
 from sparrowrecsys_tpu.models.features import (
     GenreEmbed,
     IdEmbed,
+    LinParams,
     PReLU,
+    folded_dense,
     history_stack,
     numeric_stack,
 )
@@ -182,15 +184,33 @@ class DIEN(nn.Module):
         logits = nn.Dense(1, name="out")(x)[..., 0]
 
         # Auxiliary head (DIEN.py:275-308): hidden[:, :T-1] vs next-step
-        # positive hist[:, 1:T] and negative neg[:, :T-1].
+        # positive hist[:, 1:T] and negative neg[:, :T-1]. The pos/neg
+        # heads fold into block-diagonal matmuls at both layers (2 matmuls
+        # instead of 4 — MXU K-padding lesson, see features.LinParams;
+        # param paths/inits are nn.Dense's, numbers identical).
         pos_in = jnp.concatenate(
             [hidden[:, : t - 1, :], hist[:, 1:t, :]], axis=-1
         )
-        pos_p = nn.sigmoid(nn.Dense(32, name="aux_pos32")(pos_in))
-        pos_p = nn.sigmoid(nn.Dense(1, name="aux_pos1")(pos_p))[..., 0]
         neg_in = jnp.concatenate([hidden[:, : t - 1, :], neg], axis=-1)
-        neg_p = nn.sigmoid(nn.Dense(32, name="aux_neg32")(neg_in))
-        neg_p = nn.sigmoid(nn.Dense(1, name="aux_neg1")(neg_p))[..., 0]
+        h1 = nn.sigmoid(
+            folded_dense(
+                [pos_in, neg_in],
+                [
+                    LinParams(2 * d, 32, name="aux_pos32")(),
+                    LinParams(2 * d, 32, name="aux_neg32")(),
+                ],
+            )
+        )                                                    # [B, T-1, 64]
+        pn = nn.sigmoid(
+            folded_dense(
+                [h1[..., :32], h1[..., 32:]],
+                [
+                    LinParams(32, 1, name="aux_pos1")(),
+                    LinParams(32, 1, name="aux_neg1")(),
+                ],
+            )
+        )                                                    # [B, T-1, 2]
+        pos_p, neg_p = pn[..., 0], pn[..., 1]
 
         if self.aux_mode == "paper":
             # Published DIEN aux loss, masked to steps whose next-step

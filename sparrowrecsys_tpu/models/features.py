@@ -179,17 +179,27 @@ class LinParams(nn.Module):
         return k, b
 
 
-def folded_projections(xs, kbs, field_dim: int):
-    """concat(xs) @ block-diag(kernels) + concat(biases) -> [B, F, field_dim].
+def folded_dense(xs, kbs):
+    """concat(xs) @ block-diag(kernels) + concat(biases) -> [..., sum N_f].
 
-    xs: per-field inputs [B, K_f]; kbs: matching (kernel [K_f, field_dim],
-    bias [field_dim]) pairs from `LinParams`."""
+    xs: per-head inputs [..., K_f]; kbs: matching (kernel [K_f, N_f],
+    bias [N_f]) pairs from `LinParams`. Each head's output columns see
+    exact 0.0 contributions from the other heads' inputs — same numbers
+    as applying the heads separately, one matmul instead of len(xs)."""
     total_k = sum(x.shape[-1] for x in xs)
-    w = jnp.zeros((total_k, len(xs) * field_dim), jnp.float32)
-    r = 0
-    for i, (k, _) in enumerate(kbs):
-        w = jax.lax.dynamic_update_slice(w, k, (r, i * field_dim))
+    total_n = sum(k.shape[1] for k, _ in kbs)
+    w = jnp.zeros((total_k, total_n), jnp.float32)
+    r = c = 0
+    for k, _ in kbs:
+        w = jax.lax.dynamic_update_slice(w, k, (r, c))
         r += k.shape[0]
+        c += k.shape[1]
     bias = jnp.concatenate([b for _, b in kbs])
-    xcat = jnp.concatenate(xs, axis=-1)
-    return (xcat @ w + bias).reshape(-1, len(xs), field_dim)
+    return jnp.concatenate(xs, axis=-1) @ w + bias
+
+
+def folded_projections(xs, kbs, field_dim: int):
+    """`folded_dense` for equal-width field projections, reshaped to
+    [B, F, field_dim]."""
+    out = folded_dense(xs, kbs)
+    return out.reshape(-1, len(xs), field_dim)

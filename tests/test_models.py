@@ -144,6 +144,35 @@ def test_deepfm_v2_folded_projection_math(ds):
     assert params["proj_numeric"]["bias"].shape == (64,)
 
 
+def test_folded_dense_matches_separate_heads():
+    """Block-diag fold over heterogeneous head widths (DIEN aux heads:
+    [*, 2D]->32 and [*, 32]->1) equals per-head x @ k + b."""
+    from sparrowrecsys_tpu.models.features import folded_dense
+
+    rng = np.random.default_rng(7)
+    xs = [
+        jnp.asarray(rng.normal(size=(4, 3, 20)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(4, 3, 20)).astype(np.float32)),
+    ]
+    kbs = [
+        (
+            jnp.asarray(rng.normal(size=(20, n)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(n,)).astype(np.float32)),
+        )
+        for n in (32, 5)
+    ]
+    out = folded_dense(xs, kbs)
+    assert out.shape == (4, 3, 37)
+    np.testing.assert_allclose(
+        np.asarray(out[..., :32]), np.asarray(xs[0] @ kbs[0][0] + kbs[0][1]),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[..., 32:]), np.asarray(xs[1] @ kbs[1][0] + kbs[1][1]),
+        rtol=0, atol=1e-5,
+    )
+
+
 def test_trainer_eval_matches_prediction_order(ds):
     model = build_model("neuralcf")
     tr = Trainer(model, TrainConfig(batch_size=100, epochs=1))

@@ -42,13 +42,18 @@ def bench_fm(rows):
     from sparrowrecsys_tpu.ops.fm import fm_cross_pallas, fm_cross_xla
 
     xla = jax.jit(fm_cross_xla)
+    # fm_cross_pallas is a bare custom_vjp (no jit wrapper since the VJP
+    # landed): calling it eagerly RE-TRACES AND RE-COMPILES EVERY CALL —
+    # through the remote tunnel that measured as ~540 ms/call and poisoned
+    # one KERNELS.md regeneration. Always time it under jit.
+    pallas = jax.jit(fm_cross_pallas)
     for b, f, d in [(8192, 5, 64), (8192, 32, 128), (32768, 16, 128)]:
         x = jnp.asarray(
             np.random.default_rng(0).normal(size=(b, f, d)).astype(np.float32)
         )
         t_x = timeit(xla, x)
         try:
-            t_p = timeit(fm_cross_pallas, x)
+            t_p = timeit(pallas, x)
             note = ""
         except Exception as e:  # pallas may not support a shape
             t_p, note = float("nan"), f"pallas failed: {type(e).__name__}"
@@ -90,7 +95,8 @@ def main():
         "# KERNELS — Pallas vs XLA microbenchmarks",
         "",
         f"Device: {dev.platform}:{dev.device_kind}. Times are per-call means",
-        "(50 iters, post-warmup). Auto-dispatch in ops/ picks the winner;",
+        "(50 iters, post-warmup, forced device->host sync — block_until_ready",
+        "returns early on this backend). Auto-dispatch in ops/ picks the winner;",
         "at MovieLens shapes XLA's fusion is usually already optimal — the",
         "Pallas kernels matter at production shapes (long histories, wide",
         "fields).",
@@ -106,8 +112,19 @@ def main():
             + f" | {winner} | {note} |"
         )
         print(lines[-1])
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "KERNELS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # Regenerate only the header + table; hand-written prose (top-k table,
+    # dispatch-policy findings) lives below the marker and is preserved.
+    marker = "<!-- tools/kernel_bench.py regenerates everything ABOVE this line -->"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "KERNELS.md"
+    )
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n\n" + marker + tail)
 
 
 if __name__ == "__main__":

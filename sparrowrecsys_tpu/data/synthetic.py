@@ -34,6 +34,12 @@ class SyntheticSpec:
     #: the marginal:interaction variance ratio in MovieLens' ballpark.
     user_bias_scale: float = 0.5
     movie_bias_scale: float = 0.4
+    #: mean rating. 3.0 ~ half the catalog clears the 3.5 positive line
+    #: (MovieLens-like CTR base rate); lower it to make positives RARE and
+    #: taste-concentrated — leave-one-out recall@k is ceilinged at roughly
+    #: k / |liked catalog items per user|, so retrieval-quality demos
+    #: (tools/recall_synth.py) need a sparse liked set to be measurable.
+    base_rating: float = 3.0
     seed: int = 7
 
 
@@ -48,7 +54,7 @@ def synthetic_ratings(spec: SyntheticSpec = SyntheticSpec()) -> Ratings:
     u = rng.integers(1, spec.n_users + 1, spec.n_events).astype(np.int32)
     m = rng.integers(1, spec.n_movies + 1, spec.n_events).astype(np.int32)
     affinity = np.einsum("nd,nd->n", uf[u - 1], vf[m - 1]) / np.sqrt(spec.latent_dim)
-    score = 3.0 + ub[u - 1] + mb[m - 1] + affinity
+    score = spec.base_rating + ub[u - 1] + mb[m - 1] + affinity
     r = np.clip(np.round((score + 0.3 * rng.normal(size=spec.n_events)) * 2) / 2, 0.5, 5.0)
     t = rng.integers(1_000_000_000, 1_600_000_000, spec.n_events).astype(np.int64)
     return Ratings(u, m, r.astype(np.float32), t)

@@ -96,7 +96,8 @@ def recall_at_k(score_rows, test_pairs, seen, k: int) -> float:
 
 
 def eval_two_tower_retrieval(train, test_pairs, seen, k, epochs, seed=0,
-                             logq=True, serve_pop_alpha=1.0) -> float:
+                             logq=True, serve_pop_alpha=1.0,
+                             n_items=N_ITEMS, user_buckets=None) -> float:
     """logQ-corrected in-batch-softmax towers. The training correction
     subtracts log p(item), so the learned dot estimates popularity-free
     preference; serving adds alpha*log p(item) back (the principled
@@ -117,18 +118,23 @@ def eval_two_tower_retrieval(train, test_pairs, seen, k, epochs, seed=0,
     pos = train.ratings >= POS_THRESHOLD
     users = train.user_ids[pos]
     movies = train.movie_ids[pos]
-    model = build_model("neuralcf_two_tower", hidden=(32, 32))
+    extra = {}
+    if n_items != N_ITEMS:
+        extra["movie_buckets"] = n_items
+    if user_buckets is not None:
+        extra["user_buckets"] = user_buckets
+    model = build_model("neuralcf_two_tower", hidden=(32, 32), **extra)
     trainer = RetrievalTrainer(
         model, RetrievalConfig(batch_size=1024, epochs=epochs, seed=seed,
                                logq=logq)
     )
     params = trainer.fit_pairs(users, movies)
-    item_vecs = trainer.item_matrix(params, N_ITEMS)
+    item_vecs = trainer.item_matrix(params, n_items)
     uniq = np.unique([u for u, _ in test_pairs])
     uvecs = trainer.user_vectors(params, uniq)
     scores = np.asarray(jnp.dot(uvecs, item_vecs.T))
     if serve_pop_alpha:
-        counts = np.bincount(movies, minlength=N_ITEMS)[:N_ITEMS]
+        counts = np.bincount(movies, minlength=n_items)[:n_items]
         scores = scores + serve_pop_alpha * np.log(np.maximum(counts, 0.5))
     return recall_at_k(
         {int(u): scores[i] for i, u in enumerate(uniq)}, test_pairs, seen, k
@@ -304,8 +310,8 @@ def eval_tuned_blend(train, test_pairs, seen, k):
     return test[beta], beta
 
 
-def eval_popularity(train, test_pairs, seen, k) -> float:
-    counts = np.bincount(train.movie_ids, minlength=N_ITEMS)[:N_ITEMS]
+def eval_popularity(train, test_pairs, seen, k, n_items=N_ITEMS) -> float:
+    counts = np.bincount(train.movie_ids, minlength=n_items)[:n_items]
     s = counts.astype(np.float32)
     rows = {int(u): s for u, _ in test_pairs}
     return recall_at_k(rows, test_pairs, seen, k)

@@ -135,8 +135,6 @@ def main() -> None:
     ap.add_argument("--data-root", default=None)
     args = ap.parse_args()
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
-    import os
-
     catalog = load_movies(data.path(data.movies_csv))
     ratings = load_ratings(data.path(data.ratings_csv))
 

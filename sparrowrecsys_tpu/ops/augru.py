@@ -19,7 +19,7 @@ config knob, not a recompile (SURVEY.md §5).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

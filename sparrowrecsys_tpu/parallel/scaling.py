@@ -16,7 +16,6 @@ import dataclasses
 import time
 from typing import List, Optional
 
-import numpy as np
 
 
 def init_distributed(
@@ -67,7 +66,6 @@ def measure_scaling(
     movie_vocab: int = 1001,
 ) -> List[ScalingPoint]:
     import jax
-    import jax.numpy as jnp
 
     from sparrowrecsys_tpu.config import MeshConfig, TrainConfig
     from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset

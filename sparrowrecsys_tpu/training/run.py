@@ -12,7 +12,6 @@ reference scripts' trailing printout (`EmbeddingMLP.py:101-105`).
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main() -> None:

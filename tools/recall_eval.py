@@ -141,7 +141,7 @@ def eval_two_tower_retrieval(train, test_pairs, seen, k, epochs, seed=0,
     )
 
 
-def eval_item2vec(train, test_pairs, seen, k) -> float:
+def eval_item2vec(train, test_pairs, seen, k, n_items=N_ITEMS) -> float:
     from sparrowrecsys_tpu.embedding.item2vec import (
         Item2VecConfig,
         train_item2vec,
@@ -158,10 +158,10 @@ def eval_item2vec(train, test_pairs, seen, k) -> float:
     urow = {int(x): i for i, x in enumerate(uids)}
     # scatter item vectors into catalog-id space; items without an
     # embedding score -inf (can't be retrieved)
-    full = np.full((N_ITEMS, emb.shape[1]), 0.0, np.float32)
-    have = np.zeros(N_ITEMS, bool)
+    full = np.full((n_items, emb.shape[1]), 0.0, np.float32)
+    have = np.zeros(n_items, bool)
     for i, v in enumerate(vocab):
-        if 0 <= int(v) < N_ITEMS:
+        if 0 <= int(v) < n_items:
             full[int(v)] = emb[i]
             have[int(v)] = True
     fn = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-9)

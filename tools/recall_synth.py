@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from tools.recall_eval import (
+    eval_item2vec,
     eval_popularity,
     eval_two_tower_retrieval,
     leave_one_out_split,
@@ -47,6 +48,9 @@ def main() -> None:
     ap.add_argument("--max-test-users", type=int, default=10_000,
                     help="cap the eval population (scores matrix is "
                          "[test_users, movies])")
+    ap.add_argument("--item2vec", action="store_true",
+                    help="also score the reference's retriever recipe "
+                         "(item2vec + mean user embedding) on this data")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -78,6 +82,10 @@ def main() -> None:
         n_items=n_items, user_buckets=args.users + 1,
     )
     print(f"two_tower(retrieval) recall@{args.k} = {rt:.4f}", flush=True)
+    i2v = None
+    if args.item2vec:
+        i2v = eval_item2vec(train, test_pairs, seen, args.k, n_items=n_items)
+        print(f"item2vec (ref recipe) recall@{args.k} = {i2v:.4f}", flush=True)
     out = {
         "k": args.k,
         "protocol": "leave-one-out, seen-items excluded (identical to recall.json)",
@@ -89,6 +97,8 @@ def main() -> None:
         "two_tower_retrieval": rt,
         "lift_over_popularity": round(rt / max(pop, 1e-9), 2),
     }
+    if i2v is not None:
+        out["item2vec"] = i2v
     print(json.dumps(out), flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from sparrowrecsys_tpu.config import EMBEDDING_DIM, GENRE_VOCAB
-from sparrowrecsys_tpu.ops.embedding import embed_lookup, uniform_embed_init
+from sparrowrecsys_tpu.ops.embedding import (
+    embed_lookup,
+    packed_multi_lookup,
+    uniform_embed_init,
+)
 
 GENRE_COLS = (
     "userGenre1", "userGenre2", "userGenre3", "userGenre4", "userGenre5",
@@ -119,6 +123,28 @@ def merged_embed_bias(
                              axis=1)
     out = embed_lookup(merged, idx)
     return out[..., :-1], out[..., -1]
+
+
+def packed_embed_bias(columns):
+    """`merged_embed_bias` for SEVERAL id columns riding ONE gather.
+
+    columns: sequence of (emb_table [V, D], bias_col [V, 1], idx [B]).
+    Each table is first merged with its bias column ([V, D+1], as in
+    `merged_embed_bias`), then all merged tables are concatenated
+    in-graph and every column's row comes out of one packed
+    `packed_multi_lookup` take — bitwise-identical forward to the
+    per-column `merged_embed_bias` chain, with a per-table backward
+    (see `ops/embedding.py::packed_multi_lookup`). Measured on the full
+    DeepFM train step: see tools/step_exp12.py / BASELINE.md.
+
+    Returns a list of (embedding [B, D], bias [B]) pairs.
+    """
+    merged = [
+        jnp.concatenate([emb, bias.astype(emb.dtype)], axis=1)
+        for emb, bias, _ in columns
+    ]
+    outs = packed_multi_lookup(merged, [idx for _, _, idx in columns])
+    return [(o[..., :-1], o[..., -1]) for o in outs]
 
 
 def numeric_stack(

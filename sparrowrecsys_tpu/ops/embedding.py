@@ -20,6 +20,8 @@ vectors, matching TF's embedding_column-with-default and Keras mask_zero.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -79,6 +81,88 @@ def embed_lookup(
     lo = 1 if mask_zero else 0  # mask_zero additionally zeroes id 0
     valid = (ids >= lo) & (ids < v)
     return jnp.where(valid[..., None], out, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _packed_lookup(lo: tuple, tables: tuple, ids: tuple) -> tuple:
+    return _packed_impl(lo, tables, ids)
+
+
+def _packed_impl(lo, tables, ids):
+    vs = [t.shape[0] for t in tables]
+    offs = [0]
+    for v in vs[:-1]:
+        offs.append(offs[-1] + v)
+    big = jnp.concatenate(tables, axis=0)
+    gidx = jnp.stack(
+        [jnp.clip(i, 0, v - 1) + o for i, v, o in zip(ids, vs, offs)], axis=0
+    )  # [T, B]
+    rows = jnp.take(big, gidx, axis=0)  # [T, B, D]
+    valid = jnp.stack(
+        [(i >= l) & (i < v) for i, l, v in zip(ids, lo, vs)], axis=0
+    )
+    out = jnp.where(valid[..., None], rows, 0.0)
+    return tuple(out[t] for t in range(len(tables)))
+
+
+def _packed_fwd(lo, tables, ids):
+    return _packed_impl(lo, tables, ids), (tuple(t.shape[0] for t in tables), ids)
+
+
+def _packed_bwd(lo, res, g):
+    vs, ids = res
+    grads = []
+    for t, gt in enumerate(g):
+        v = vs[t]
+        valid = (ids[t] >= lo[t]) & (ids[t] < v)
+        gm = jnp.where(valid[..., None], gt, 0.0)
+        flat_ids = jnp.clip(ids[t], 0, v - 1).reshape(-1)
+        flat_g = gm.reshape(len(flat_ids), -1)
+        if v <= ONEHOT_GRAD_MAX_VOCAB:
+            oh = jax.nn.one_hot(flat_ids, v, dtype=flat_g.dtype)  # [N, V]
+            grads.append(
+                jnp.dot(oh.T, flat_g, preferred_element_type=jnp.float32)
+            )
+        else:
+            grads.append(
+                jnp.zeros((v, flat_g.shape[-1]), flat_g.dtype)
+                .at[flat_ids]
+                .add(flat_g)
+            )
+    return tuple(grads), tuple(None for _ in ids)
+
+
+_packed_lookup.defvjp(_packed_fwd, _packed_bwd)
+
+
+def packed_multi_lookup(
+    tables, ids, lo=None
+) -> tuple:
+    """ONE gather for several per-column lookups across different tables.
+
+    tables: sequence of [V_t, D] (same D); ids: matching int32 [B] columns;
+    lo: per-column valid lower bound (1 for mask_zero history columns, 0
+    otherwise). Returns a tuple of [B, D] rows with `embed_lookup`'s
+    missing-value semantics per column — bitwise-identical forward.
+
+    Why: each `embed_lookup` expands to its own clip/take/where chain in
+    the scanned train step, and per-op overhead — not table bandwidth —
+    is the measured cost of the lookup block (BASELINE.md, step_exp10:
+    zeroing all lookups gives 42M ex/s fwd-only vs 20.9M with them). The
+    tables are concatenated IN-GRAPH (tiny — the copy is noise; the flax
+    param tree is unchanged) and all columns ride one [T, B] `take`.
+
+    Why custom VJP: the round-2 unified-table experiment (step_exp9) was
+    21% SLOWER *because its backward* concentrated into one scatter of
+    T*B rows into the concatenated table. Splitting the backward per
+    table — one-hot matmul at V <= ONEHOT_GRAD_MAX_VOCAB, scatter-add
+    above, exactly `embed_lookup`'s policy — keeps the measured-cheap
+    backward while the forward pays one gather instead of T.
+    """
+    tables = tuple(tables)
+    ids = tuple(ids)
+    lo = tuple(lo) if lo is not None else tuple(0 for _ in tables)
+    return _packed_lookup(lo, tables, ids)
 
 
 def sharded_lookup(

@@ -185,6 +185,9 @@ def attach_to_store(stream: LatestRatingStream, dm) -> None:
         if user.user_features is None:
             user.user_features = {}
         user.user_features["latestMovieId"] = str(e.movie_id)
+        # The rating rides along so the online feature assembler can apply
+        # the positive-only history rule (serving/assembler.py).
+        user.user_features["latestMovieRating"] = str(e.rating)
         base_sink(e)
 
     stream.sink = sink

@@ -98,9 +98,14 @@ class RecForYouProcess:
         scorer: Optional[ModelScorer] = None,
         micro_batch: bool = False,
         batch_wait_ms: float = 2.0,
+        scorers: Optional[dict] = None,
     ):
         self.dm = dm
         self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
+        #: Named full-feature scorers beyond the reference's surface:
+        #: {"deepfm": ModelScorer(assembler=...), ...} — any zoo model
+        #: ranks online via ?model=<name> (serving/assembler.py).
+        self.scorers = scorers or {}
         # The top-800 candidate set only changes when the catalog does
         # (read-only after load), so it is computed once — the reference
         # re-sorts the whole catalog per request (RecForYouProcess.java:37).
@@ -163,6 +168,12 @@ class RecForYouProcess:
         return ranked[:size]
 
     def ranker(self, user: User, candidates: List[Movie], model: str) -> List[Movie]:
+        if model in self.scorers:  # full-feature zoo scorer (?model=deepfm ...)
+            scores = self.scorers[model].score(
+                user.user_id, [c.movie_id for c in candidates]
+            )
+            order = np.argsort(-scores, kind="stable")
+            return [candidates[i] for i in order]
         if model == "emb":
             return self._rank_user_emb(user, candidates)
         if model in ("neuralcf", "nerualcf"):  # accept the reference typo

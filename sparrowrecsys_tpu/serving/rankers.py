@@ -111,12 +111,21 @@ class ModelScorer:
     compilation serves all requests.
     """
 
-    def __init__(self, model, params, batch_pad: int = 1024):
+    def __init__(self, model, params, batch_pad: int = 1024,
+                 assembler=None, extra_int_cols: Sequence[str] = ()):
         import jax
 
         self.model = model
         self.params = params
         self.batch_pad = batch_pad
+        #: Optional serving.assembler.FeatureAssembler: when set, score()
+        #: assembles the FULL feature dict online (mf:/uf: store + catalog
+        #: fallback + nearline real-time history) so feature-based models
+        #: (DeepFM, Wide&Deep, DIN, ...) rank online — the 27-feature
+        #: request schema of HttpClient.java:127-148, which the reference
+        #: documents but never wires. None = id-only (NeuralCF) parity.
+        self.assembler = assembler
+        self.extra_int_cols = tuple(extra_int_cols)
 
         @jax.jit
         def _score(params, feats):
@@ -127,19 +136,23 @@ class ModelScorer:
         self._score = _score
 
     @classmethod
-    def from_checkpoint(cls, model, model_dir: str, batch_pad: int = 1024):
+    def from_checkpoint(cls, model, model_dir: str, batch_pad: int = 1024,
+                        assembler=None, extra_int_cols: Sequence[str] = ()):
         import jax
         import numpy as np
 
         from sparrowrecsys_tpu.training.checkpoint import load_latest
 
-        feats = {
-            "movieId": np.zeros(2, np.int32),
-            "userId": np.zeros(2, np.int32),
-        }
+        if assembler is not None:
+            feats = assembler.example_features(2, extra_int_cols)
+        else:
+            feats = {
+                "movieId": np.zeros(2, np.int32),
+                "userId": np.zeros(2, np.int32),
+            }
         target = model.init(jax.random.PRNGKey(0), feats)["params"]
         params, _, _ = load_latest(model_dir, target)
-        return cls(model, params, batch_pad)
+        return cls(model, params, batch_pad, assembler, extra_int_cols)
 
     def score(self, user_id: int, movie_ids: Sequence[int]) -> np.ndarray:
         import jax.numpy as jnp
@@ -150,11 +163,24 @@ class ModelScorer:
             pad *= 2
         mids = np.zeros(pad, np.int32)
         mids[:n] = np.asarray(movie_ids, np.int32)
-        with _DEVICE_LOCK:
-            feats = {
-                "movieId": jnp.asarray(mids),
-                "userId": jnp.asarray(np.full(pad, user_id, np.int32)),
+        if self.assembler is not None:
+            # Assemble the real candidates only; batch-pad rows are zeros
+            # (id 0 = miss/mask in every column's encoding).
+            real = self.assembler.features(
+                user_id, np.asarray(movie_ids, np.int32), self.extra_int_cols
+            )
+            host_feats = {}
+            for k, v in real.items():
+                col = np.zeros(pad, v.dtype)
+                col[:n] = v
+                host_feats[k] = col
+        else:
+            host_feats = {
+                "movieId": mids,
+                "userId": np.full(pad, user_id, np.int32),
             }
+        with _DEVICE_LOCK:
+            feats = {k: jnp.asarray(v) for k, v in host_feats.items()}
             return np.asarray(self._score(self.params, feats))[:n]
 
 

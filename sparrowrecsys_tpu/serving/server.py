@@ -47,6 +47,7 @@ class RecSysServer:
         scorer=None,
         ab_test: bool = False,
         webroot: Optional[str] = None,
+        scorers: Optional[dict] = None,
     ):
         self.dm = dm
         self.config = config or ServingConfig()
@@ -57,7 +58,7 @@ class RecSysServer:
         # is pending immediately — zero added latency at low load, natural
         # batch growth while a batch is in flight at high load.
         self.rec_for_you = RecForYouProcess(
-            dm, scorer, micro_batch=True, batch_wait_ms=0.0
+            dm, scorer, micro_batch=True, batch_wait_ms=0.0, scorers=scorers
         )
         self.ab_test = ab_test
         self.webroot = webroot or self.config.webroot or os.path.join(
@@ -100,10 +101,12 @@ class RecSysServer:
                 _, mat = self.rec_for_you._candidate_set()
                 if mat.size:
                     batcher.scorer(np.ones((batcher.max_batch, d), np.float32))
-        if self.rec_for_you.scorer is not None:
-            movie_ids = [m.movie_id for m in self.dm.get_movies(8, "rating")]
-            if movie_ids:
+        movie_ids = [m.movie_id for m in self.dm.get_movies(8, "rating")]
+        if movie_ids:
+            if self.rec_for_you.scorer is not None:
                 self.rec_for_you.scorer.score(1, movie_ids)
+            for s in self.rec_for_you.scorers.values():
+                s.score(1, movie_ids)
 
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:
@@ -201,6 +204,19 @@ def main() -> None:
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--ab-test", action="store_true")
     ap.add_argument("--model-dir", default=None, help="NeuralCF checkpoint dir")
+    ap.add_argument(
+        "--rank-model", default=None, metavar="NAME",
+        help="full-feature zoo ranker for ?model=NAME (e.g. deepfm, din)",
+    )
+    ap.add_argument(
+        "--rank-model-dir", default=None, metavar="DIR",
+        help="checkpoint dir for --rank-model",
+    )
+    ap.add_argument(
+        "--feature-store", default=None, metavar="PATH",
+        help="feature_store.json (data/run.py --export-features) feeding "
+        "the full-feature assembler; default <data-root>/feature_store.json",
+    )
     args = ap.parse_args()
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
@@ -217,7 +233,32 @@ def main() -> None:
         from sparrowrecsys_tpu.serving.rankers import ModelScorer
 
         scorer = ModelScorer.from_checkpoint(build_model("neuralcf"), args.model_dir)
-    server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test)
+    scorers = None
+    if args.rank_model and args.rank_model_dir:
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.serving.assembler import FeatureAssembler
+        from sparrowrecsys_tpu.serving.feature_store import FeatureStore
+        from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+        store_path = args.feature_store or data.path("feature_store.json")
+        store = (
+            FeatureStore.load(store_path)
+            if os.path.exists(store_path)
+            else FeatureStore()
+        )
+        assembler = FeatureAssembler(store, dm)
+        extra = ()
+        if args.rank_model == "dien":
+            from sparrowrecsys_tpu.models.dien import NEGATIVE_COLS
+
+            extra = tuple(NEGATIVE_COLS)
+        scorers = {
+            args.rank_model: ModelScorer.from_checkpoint(
+                build_model(args.rank_model), args.rank_model_dir,
+                assembler=assembler, extra_int_cols=extra,
+            )
+        }
+    server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test, scorers=scorers)
     server.start(block=False)  # bind first so the printed port is the real one
     print(
         f"Sparrow RecSys (TPU) binding http://localhost:{server.port}/ "

@@ -1,0 +1,186 @@
+"""Full-feature online scoring: assembler consistency + serving wiring.
+
+The key guarantee is ONLINE/OFFLINE FEATURE CONSISTENCY — the classic
+industrial-recsys failure mode: the features a model sees at serve time
+must be encoded exactly as the training pipeline encoded them. The
+assembler reads the `mf:`/`uf:` store written by
+`export_sample_features` (the reference's Redis export,
+`FeatureEngForRecModel.scala:144-192, 239-296`), so for each entity's
+LATEST sample row the assembled values must reproduce the encoded
+training columns (the export's 2-dp string rounding is part of the
+contract and applied to both sides here, exactly as the reference's
+Redis round-trip rounds what its TF-Serving request would carry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparrowrecsys_tpu.config import GENRE_VOCAB
+from sparrowrecsys_tpu.data import (
+    build_samples,
+    load_movies,
+    ratings_from_samples_csv,
+)
+from sparrowrecsys_tpu.data.dataset import encode_samples
+from sparrowrecsys_tpu.serving.assembler import (
+    FeatureAssembler,
+    MOVIE_FLOAT_COLS,
+    MOVIE_GENRE_COLS,
+    USER_FLOAT_COLS,
+    USER_GENRE_COLS,
+    USER_INT_COLS,
+)
+from sparrowrecsys_tpu.serving.feature_store import (
+    FeatureStore,
+    export_sample_features,
+)
+
+DATA = "data"
+
+
+@pytest.fixture(scope="module")
+def sample_world():
+    ratings = ratings_from_samples_csv(f"{DATA}/goldenTestSamples.csv")
+    catalog = load_movies(f"{DATA}/movies.csv")
+    table = build_samples(ratings, catalog)
+    store = FeatureStore()
+    export_sample_features(table, GENRE_VOCAB, store)
+    ds = encode_samples(table)
+    return table, store, ds
+
+
+def _latest_row(table, col, key):
+    idx = np.flatnonzero(np.asarray(table[col]) == key)
+    return idx[np.argmax(np.asarray(table["timestamp"])[idx])]
+
+
+def test_user_side_matches_offline_encoding(sample_world):
+    table, store, ds = sample_world
+    asm = FeatureAssembler(store)
+    uids = np.asarray(table["userId"])
+    rng = np.random.default_rng(0)
+    for uid in rng.choice(np.unique(uids), 20, replace=False):
+        i = _latest_row(table, "userId", uid)
+        row = asm.user_row(int(uid))
+        for c in USER_INT_COLS + USER_GENRE_COLS:
+            assert row[c] == int(ds.features[c][i]), (uid, c)
+        for c in USER_FLOAT_COLS:
+            # The store carries the reference's 2-dp Redis strings for the
+            # stddev/avg columns; counts/years are integral. Compare at
+            # the export's precision.
+            assert abs(row[c] - float(ds.features[c][i])) < 5e-3 + 1e-6, (uid, c)
+
+
+def test_movie_side_matches_offline_encoding(sample_world):
+    table, store, ds = sample_world
+    asm = FeatureAssembler(store)
+    mids = np.asarray(table["movieId"])
+    rng = np.random.default_rng(1)
+    for mid in rng.choice(np.unique(mids), 20, replace=False):
+        i = _latest_row(table, "movieId", mid)
+        row = asm.movie_row(int(mid))
+        for c in MOVIE_GENRE_COLS:
+            assert row[c] == int(ds.features[c][i]), (mid, c)
+        for c in MOVIE_FLOAT_COLS:
+            assert abs(row[c] - float(ds.features[c][i])) < 5e-3 + 1e-6, (mid, c)
+
+
+def test_catalog_fallback_for_unexported_movie(sample_world):
+    _, store, _ = sample_world
+    from sparrowrecsys_tpu.serving.catalog import DataManager
+
+    dm = DataManager().load_data(f"{DATA}/movies.csv", None, None, None, None)
+    asm = FeatureAssembler(FeatureStore(), dm)  # empty store: catalog only
+    m = next(iter(dm.movies.values()))
+    row = asm.movie_row(m.movie_id)
+    assert row["releaseYear"] == float(m.release_year)
+    if m.genres:
+        assert row["movieGenre1"] == GENRE_VOCAB.index(m.genres[0]) if m.genres[0] in GENRE_VOCAB else row["movieGenre1"] == -1
+
+
+def test_realtime_history_shift(sample_world):
+    table, store, _ = sample_world
+    from sparrowrecsys_tpu.serving.catalog import DataManager, User
+
+    dm = DataManager().load_data(f"{DATA}/movies.csv", None, None, None, None)
+    uid = int(np.asarray(table["userId"])[0])
+    user = User(uid)
+    dm.users[uid] = user
+    asm = FeatureAssembler(store, dm)
+    base = asm.user_row(uid)
+
+    # Positive nearline event shifts into userRatedMovie1.
+    user.user_features = {"latestMovieId": "777", "latestMovieRating": "4.5"}
+    shifted = asm.user_row(uid)
+    assert shifted["userRatedMovie1"] == 777
+    assert shifted["userRatedMovie2"] == base["userRatedMovie1"]
+
+    # Negative event must NOT enter the positives-only history.
+    user.user_features = {"latestMovieId": "778", "latestMovieRating": "2.0"}
+    assert asm.user_row(uid)["userRatedMovie1"] == base["userRatedMovie1"]
+
+    # Duplicate of the current head: no shift.
+    head = str(base["userRatedMovie1"])
+    user.user_features = {"latestMovieId": head, "latestMovieRating": "5.0"}
+    assert asm.user_row(uid)["userRatedMovie2"] == base["userRatedMovie2"]
+
+
+def test_full_feature_scorer_and_process_routing(sample_world):
+    table, store, _ = sample_world
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.serving.catalog import DataManager
+    from sparrowrecsys_tpu.serving.processes import RecForYouProcess
+    from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+    dm = DataManager().load_data(
+        f"{DATA}/movies.csv", None, f"{DATA}/ratings.csv", None, None
+    )
+    asm = FeatureAssembler(store, dm)
+    model = build_model("deepfm")
+    params = model.init(
+        jax.random.PRNGKey(0), asm.example_features(2)
+    )["params"]
+    scorer = ModelScorer(model, params, batch_pad=64, assembler=asm)
+
+    uid = int(np.asarray(table["userId"])[0])
+    mids = [int(m) for m in np.unique(np.asarray(table["movieId"]))[:10]]
+    s1 = scorer.score(uid, mids)
+    s2 = scorer.score(uid, mids)
+    assert s1.shape == (10,)
+    assert np.all((s1 >= 0) & (s1 <= 1))
+    np.testing.assert_array_equal(s1, s2)  # deterministic
+
+    proc = RecForYouProcess(dm, scorers={"deepfm": scorer})
+    out = proc.get_rec_list(uid, 5, "deepfm")
+    assert len(out) == 5
+    # Routing really used the scorer: order equals score-descending order.
+    cands, _ = proc._candidate_set()
+    scores = scorer.score(uid, [c.movie_id for c in cands])
+    expect = [cands[i].movie_id for i in np.argsort(-scores, kind="stable")][:5]
+    assert [m.movie_id for m in out] == expect
+
+
+def test_dien_serves_with_zero_negative_columns(sample_world):
+    table, store, _ = sample_world
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.models.dien import NEGATIVE_COLS
+    from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+    asm = FeatureAssembler(store)
+    model = build_model("dien")
+    params = model.init(
+        jax.random.PRNGKey(0), asm.example_features(2, NEGATIVE_COLS)
+    )["params"]
+    scorer = ModelScorer(
+        model, params, batch_pad=16, assembler=asm,
+        extra_int_cols=NEGATIVE_COLS,
+    )
+    uid = int(np.asarray(table["userId"])[0])
+    s = scorer.score(uid, [1, 2, 3])
+    assert s.shape == (3,) and np.all(np.isfinite(s))

@@ -8,7 +8,9 @@ persistent keep-alive connections driven round-robin.
     python tools/http_load.py --url "http://127.0.0.1:6010/getrecforyou?id=1&size=32&model=emb" \
         --procs 4 --conns 8 --seconds 5 [--ids 1,2,...]
 
-Prints one JSON line: {"requests": N, "seconds": S, "rps": R, "errors": E}.
+Prints one JSON line: {"requests": N, "seconds": S, "rps": R, "errors": E,
+"p50_ms": ..., "p90_ms": ..., "p99_ms": ...} (per-request latency from a
+connection's send to its parsed response).
 `--ids` substitutes {id} in the url template per request (round-robin) so
 caches don't trivially serve one hot user.
 """
@@ -37,6 +39,8 @@ def worker(url_templates, conns, seconds, out_q):
     )
     n = errors = 0
     bufs = [b""] * conns
+    sent_at = [0.0] * conns
+    lats: list = []
     deadline = time.perf_counter() + seconds
     try:
         while time.perf_counter() < deadline:
@@ -47,6 +51,7 @@ def worker(url_templates, conns, seconds, out_q):
                     f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
                     "Connection: keep-alive\r\n\r\n"
                 ).encode()
+                sent_at[i] = time.perf_counter()
                 s.sendall(req)
             for i, s in enumerate(socks):
                 try:
@@ -68,6 +73,7 @@ def worker(url_templates, conns, seconds, out_q):
                         buf += chunk
                     bufs[i] = buf
                     n += 1
+                    lats.append(time.perf_counter() - sent_at[i])
                 except Exception:
                     errors += 1
                     try:
@@ -84,7 +90,7 @@ def worker(url_templates, conns, seconds, out_q):
                 s.close()
             except Exception:
                 pass
-    out_q.put((n, errors))
+    out_q.put((n, errors, lats))
 
 
 def run_load(url: str, procs: int, conns: int, seconds: float, ids=None) -> dict:
@@ -101,19 +107,29 @@ def run_load(url: str, procs: int, conns: int, seconds: float, ids=None) -> dict
     for p in ps:
         p.start()
     total = errors = 0
+    lats: list = []
     for _ in ps:
-        n, e = q.get()
+        n, e, l = q.get()
         total += n
         errors += e
+        lats.extend(l)
     for p in ps:
         p.join()
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "requests": total,
         "seconds": round(dt, 2),
         "rps": round(total / max(dt, 1e-9), 1),
         "errors": errors,
     }
+    if lats:
+        lats.sort()
+
+        def pct(p):
+            return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 2)
+
+        out.update({"p50_ms": pct(0.50), "p90_ms": pct(0.90), "p99_ms": pct(0.99)})
+    return out
 
 
 def main():

@@ -146,6 +146,8 @@ def bench_serving() -> dict:
         "unit": "req/s (800-candidate emb ranking, keep-alive HTTP)",
         "vs_baseline": round(res["rps"] / 73.0, 2),
         "errors": res["errors"],
+        "p50_ms": res.get("p50_ms"),
+        "p99_ms": res.get("p99_ms"),
     }
 
 

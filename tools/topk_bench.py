@@ -51,7 +51,14 @@ def timeit(fn, *args, iters=20, warmup=2):
 def main() -> None:
     print("backend:", jax.devices()[0].platform, flush=True)
     key = jax.random.PRNGKey(0)
-    for m in (100_000, 1_000_000):
+    import sys
+
+    sizes = (
+        tuple(int(x) for x in sys.argv[1:])
+        if len(sys.argv) > 1
+        else (100_000, 1_000_000)
+    )
+    for m in sizes:
         kq, ki = jax.random.split(jax.random.fold_in(key, m))
         q = jax.random.normal(kq, (Q, D), jnp.float32)
         items = jax.random.normal(ki, (m, D), jnp.float32)

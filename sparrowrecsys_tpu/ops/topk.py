@@ -70,6 +70,68 @@ def cosine_topk_approx(
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
+#: Catalog size above which `prepare_catalog` stores the normalized item
+#: matrix in bfloat16. Measured on v5e (tools/topk_bf16_exp.py, Q=256
+#: D=64 k=10, forced sync): casting inside the kernel gains NOTHING (the
+#: fp32 table still streams from HBM), but a pre-normalized bf16-RESIDENT
+#: catalog halves the bytes the score matmul reads — 1.16x at 300k items,
+#: 1.37x at 2M, 1.52x at 4M, 1.72x at 10M (5.22 vs 8.99 ms/wave), with
+#: realized recall@10 vs fp32-exact IDENTICAL to the fp32-approx path at
+#: every size (0.994-0.998). Below 300k the approx-top-k stage dominates
+#: and fp32 is kept for bitwise-stable serving results.
+RESIDENT_BF16_MIN_ITEMS = 300_000
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _normalize_rows(items: jnp.ndarray, dtype) -> jnp.ndarray:
+    mn = items / jnp.maximum(jnp.linalg.norm(items, axis=-1, keepdims=True), 1e-12)
+    return mn.astype(dtype)
+
+
+def prepare_catalog(items: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """One-time serving-side preparation of an item matrix for repeated
+    top-k queries: row-normalize once (instead of per call) and, on TPU
+    at >= `RESIDENT_BF16_MIN_ITEMS` rows, store bf16 — half the HBM
+    footprint AND half the bytes every query wave streams (measured
+    1.72x at 10M items, recall-neutral; see RESIDENT_BF16_MIN_ITEMS).
+    Pass `dtype` explicitly to override the measured policy. fp32
+    preparation is numerically identical to the unprepared path."""
+    if dtype is None:
+        if (
+            items.shape[0] >= RESIDENT_BF16_MIN_ITEMS
+            and jax.default_backend() == "tpu"
+        ):
+            dtype = jnp.bfloat16
+        else:
+            dtype = items.dtype
+    return _normalize_rows(items, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _topk_prepared(queries, prepared, k, approx):
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
+    )
+    scores = jnp.dot(
+        qn.astype(prepared.dtype), prepared.T,
+        preferred_element_type=jnp.float32,
+    )
+    if approx:
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.top_k(scores, k)
+
+
+def cosine_topk_prepared(
+    queries: jnp.ndarray, prepared: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k against a `prepare_catalog` output: skips the per-call item
+    normalization and applies the same measured exact/approx dispatch as
+    `cosine_topk_auto`. Scores are always fp32 (bf16 inputs accumulate
+    in fp32 via `preferred_element_type`)."""
+    approx = topk_dispatch(prepared.shape[0]) == "approx_max_k"
+    return _topk_prepared(queries, prepared, k, approx)
+
+
 def topk_dispatch(n_items: int) -> str:
     """The auto-dispatch decision, exposed so benchmarks/labels can name
     the kernel `cosine_topk_auto` will actually run (one source of truth

@@ -178,6 +178,53 @@ class TestTopK:
         s_auto, i_auto = cosine_topk_auto(q, items, 10)
         np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_e))
 
+    def test_prepared_catalog_matches_unprepared(self):
+        """fp32 `prepare_catalog` + `cosine_topk_prepared` must reproduce
+        the unprepared path exactly (same normalize expression, same
+        dispatch); the bf16 residency win is TPU-measured in
+        tools/topk_bf16_exp.py -> KERNELS.md."""
+        from sparrowrecsys_tpu.ops.topk import (
+            cosine_topk,
+            cosine_topk_prepared,
+            prepare_catalog,
+        )
+
+        rng = np.random.default_rng(3)
+        items = rng.normal(size=(2048, 16)).astype(np.float32)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        prepared = prepare_catalog(items)
+        assert prepared.dtype == np.float32  # below bf16 threshold / CPU
+        s_p, i_p = cosine_topk_prepared(q, prepared, 10)
+        s_e, i_e = cosine_topk(q, items, 10)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_e), atol=1e-6)
+
+    def test_prepared_catalog_bf16_override(self):
+        """Explicit bf16 preparation keeps fp32 scores and high agreement
+        with the exact fp32 ranking."""
+        import jax.numpy as jnp
+        from sparrowrecsys_tpu.ops.topk import (
+            cosine_topk,
+            cosine_topk_prepared,
+            prepare_catalog,
+        )
+
+        rng = np.random.default_rng(4)
+        items = rng.normal(size=(2048, 16)).astype(np.float32)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        prepared = prepare_catalog(items, dtype=jnp.bfloat16)
+        assert prepared.dtype == jnp.bfloat16
+        s_p, i_p = cosine_topk_prepared(q, prepared, 10)
+        assert np.asarray(s_p).dtype == np.float32
+        _, i_e = cosine_topk(q, items, 10)
+        rec = np.mean(
+            [
+                len(set(a.tolist()) & set(e.tolist())) / 10
+                for a, e in zip(np.asarray(i_p), np.asarray(i_e))
+            ]
+        )
+        assert rec >= 0.8, rec
+
     def test_sharded_matches_dense(self):
         import jax
         from jax.sharding import Mesh

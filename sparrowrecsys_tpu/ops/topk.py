@@ -160,6 +160,7 @@ def sharded_cosine_topk(
     *,
     model_axis: str = "model",
     approx: "bool | None" = None,
+    prepared: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an item matrix row-sharded across `model_axis`.
 
@@ -171,6 +172,11 @@ def sharded_cosine_topk(
     `cosine_topk_auto` to the PER-SHARD stage (approx_max_k when a shard
     block holds >= APPROX_TOPK_MIN_ITEMS rows on TPU); the cross-shard
     merge stays an exact [Q, P*k] top-k either way.
+
+    prepared=True means `items` came from `prepare_catalog` (rows already
+    normalized, possibly bf16-resident): the per-shard stage skips the
+    normalization and streams half the bytes — row normalization is
+    row-local, so sharding commutes with preparation.
     """
     n_model = mesh.shape[model_axis]
     m = items.shape[0]
@@ -185,7 +191,9 @@ def sharded_cosine_topk(
 
     def _local(q, it_blk):
         shard = jax.lax.axis_index(model_axis)
-        if approx:
+        if prepared:
+            s, i = _topk_prepared(q, it_blk, k, approx)
+        elif approx:
             s, i = cosine_topk_approx(q, it_blk, k)
         else:
             s, i = cosine_topk(q, it_blk, k)

@@ -241,3 +241,12 @@ class TestTopK:
         s2, i2 = sharded_cosine_topk(q, items, 7, mesh)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        # prepared (fp32) catalog shards identically: row normalization is
+        # row-local, so prepare-then-shard == shard-then-normalize.
+        from sparrowrecsys_tpu.ops.topk import prepare_catalog
+
+        s3, i3 = sharded_cosine_topk(
+            q, prepare_catalog(items), 7, mesh, prepared=True
+        )
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s3), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))

@@ -47,22 +47,35 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     import jax.numpy as jnp
 
     from sparrowrecsys_tpu.ops.topk import (
+        RESIDENT_BF16_MIN_ITEMS,
         cosine_topk,
         cosine_topk_auto,
+        cosine_topk_prepared,
+        prepare_catalog,
         topk_dispatch,
     )
 
     rng = np.random.default_rng(0)
     items = jnp.asarray(rng.normal(size=(n_items, 64)).astype(np.float32))
     queries = jnp.asarray(rng.normal(size=(n_queries, 64)).astype(np.float32))
-    s, i = cosine_topk_auto(queries, items, k)  # compile
+    # At resident scale a serving deployment prepares the catalog once
+    # (row-normalize + bf16; measured 1.72x at 10M items, KERNELS.md);
+    # below the threshold keep the unprepared protocol so the number
+    # stays comparable with the r1/r2 100k-item rows.
+    resident = n_items >= RESIDENT_BF16_MIN_ITEMS
+    if resident:
+        catalog = prepare_catalog(items)
+        search = lambda: cosine_topk_prepared(queries, catalog, k)  # noqa: E731
+    else:
+        search = lambda: cosine_topk_auto(queries, items, k)  # noqa: E731
+    s, i = search()  # compile
     hard_sync(s)
     iters = 50
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            s, i = cosine_topk_auto(queries, items, k)
+            s, i = search()
         hard_sync(s)
         best_dt = min(best_dt, time.perf_counter() - t0)
     # Realized search recall of the dispatched kernel vs exact on the
@@ -72,7 +85,9 @@ def bench_retrieval(n_items: int = 100_000, n_queries: int = 256, k: int = 10) -
     search_recall = float(
         np.mean([len(set(a) & set(e)) / k for a, e in zip(ia, ie)])
     )
-    mode = topk_dispatch(n_items)  # same rule cosine_topk_auto applied
+    mode = topk_dispatch(n_items)  # same rule the searcher applied
+    if resident:
+        mode += f" on a prepared {catalog.dtype} catalog"
     out = {
         "metric": "retrieval_topk_queries_per_sec",
         "value": round(n_queries * iters / best_dt, 1),
@@ -182,7 +197,11 @@ def main() -> None:
     import sys
 
     if "--retrieval" in sys.argv:
-        print(json.dumps(bench_retrieval()))
+        # optional catalog size: bench.py --retrieval 10000000
+        rest = [a for a in sys.argv[sys.argv.index("--retrieval") + 1:]
+                if a.isdigit()]
+        n_items = int(rest[0]) if rest else 100_000
+        print(json.dumps(bench_retrieval(n_items=n_items)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))

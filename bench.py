@@ -198,9 +198,10 @@ def main() -> None:
 
     if "--retrieval" in sys.argv:
         # optional catalog size: bench.py --retrieval 10000000
-        rest = [a for a in sys.argv[sys.argv.index("--retrieval") + 1:]
-                if a.isdigit()]
-        n_items = int(rest[0]) if rest else 100_000
+        # (only the IMMEDIATELY following token counts — ADVICE r2 #2)
+        idx = sys.argv.index("--retrieval")
+        nxt = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else ""
+        n_items = int(nxt) if nxt.isdigit() else 100_000
         print(json.dumps(bench_retrieval(n_items=n_items)))
         return
     if "--scaling" in sys.argv:
@@ -214,91 +215,104 @@ def main() -> None:
     from sparrowrecsys_tpu.ops import metrics as M
 
     n_chips = max(1, len(jax.devices()))
-    model = build_model("deepfm")
-    n = BATCH * STEPS  # examples per epoch (one scan dispatch)
 
     # Generate the synthetic epoch ON DEVICE: uploading host-generated
     # columns is ~110 MB at this n — minutes over the remote tunnel —
     # while a PRNG key is bytes. (Same shapes/distributions as
     # __graft_entry__._example_features.)
-    @jax.jit
-    def gen_epoch(key):
-        ks = jax.random.split(key, 4)
-        f = {
-            "movieId": jax.random.randint(ks[0], (n,), 1, 1001, dtype=jnp.int32),
-            "userId": jax.random.randint(ks[1], (n,), 1, 30001, dtype=jnp.int32),
+    def make_gen_epoch(n):
+        @jax.jit
+        def gen_epoch(key):
+            ks = jax.random.split(key, 4)
+            f = {
+                "movieId": jax.random.randint(ks[0], (n,), 1, 1001, dtype=jnp.int32),
+                "userId": jax.random.randint(ks[1], (n,), 1, 30001, dtype=jnp.int32),
+            }
+            hk = jax.random.split(ks[2], 13)
+            for i, c in enumerate(
+                ("userRatedMovie1", "userRatedMovie2", "userRatedMovie3",
+                 "userRatedMovie4", "userRatedMovie5")
+            ):
+                f[c] = jax.random.randint(hk[i], (n,), 0, 1001, dtype=jnp.int32)
+            for i, c in enumerate(
+                ("userGenre1", "userGenre2", "userGenre3", "userGenre4",
+                 "userGenre5", "movieGenre1", "movieGenre2", "movieGenre3")
+            ):
+                f[c] = jax.random.randint(hk[5 + i], (n,), -1, 19, dtype=jnp.int32)
+            nk = jax.random.split(ks[3], 8)
+            for i, c in enumerate(
+                ("releaseYear", "movieRatingCount", "movieAvgRating",
+                 "movieRatingStddev", "userRatingCount", "userAvgRating",
+                 "userRatingStddev")
+            ):
+                f[c] = jax.random.normal(nk[i], (n,), jnp.float32)
+            labels = (jax.random.uniform(nk[7], (n,)) > 0.5).astype(jnp.float32)
+            return f, labels
+
+        return gen_epoch
+
+    def measure(batch: int, steps: int) -> float:
+        """Best-of-8 forced-sync epochs at the given batch; ex/s/chip."""
+        n = batch * steps  # examples per epoch (one scan dispatch)
+        data, labels_d = make_gen_epoch(n)(jax.random.PRNGKey(0))
+        # Init sample built host-side: the shapes/dtypes are statically
+        # known, and 22 eager v[:2] slices + transfers would cost ~10 s of
+        # tunnel round-trips (~0.4 s per eager primitive on this backend).
+        sample_host = {
+            k: np.zeros((2,), np.int32 if v.dtype == jnp.int32 else np.float32)
+            for k, v in data.items()
         }
-        hk = jax.random.split(ks[2], 13)
-        for i, c in enumerate(
-            ("userRatedMovie1", "userRatedMovie2", "userRatedMovie3",
-             "userRatedMovie4", "userRatedMovie5")
-        ):
-            f[c] = jax.random.randint(hk[i], (n,), 0, 1001, dtype=jnp.int32)
-        for i, c in enumerate(
-            ("userGenre1", "userGenre2", "userGenre3", "userGenre4",
-             "userGenre5", "movieGenre1", "movieGenre2", "movieGenre3")
-        ):
-            f[c] = jax.random.randint(hk[5 + i], (n,), -1, 19, dtype=jnp.int32)
-        nk = jax.random.split(ks[3], 8)
-        for i, c in enumerate(
-            ("releaseYear", "movieRatingCount", "movieAvgRating",
-             "movieRatingStddev", "userRatingCount", "userAvgRating",
-             "userRatingStddev")
-        ):
-            f[c] = jax.random.normal(nk[i], (n,), jnp.float32)
-        labels = (jax.random.uniform(nk[7], (n,)) > 0.5).astype(jnp.float32)
-        return f, labels
+        trainer = Trainer(
+            build_model("deepfm"), TrainConfig(batch_size=batch, epochs=1)
+        )
+        trainer._build_steps()
+        params = trainer.init_params(sample_host)
+        opt_state = trainer.tx.init(params)
+        mstate = M.init_metrics()
 
-    data, labels_d = gen_epoch(jax.random.PRNGKey(0))
-    # Init sample built host-side: the shapes/dtypes are statically known,
-    # and 22 eager v[:2] slices + transfers would cost ~10 s of tunnel
-    # round-trips (~0.4 s per eager primitive on this backend).
-    sample_host = {
-        k: np.zeros((2,), np.int32 if v.dtype == jnp.int32 else np.float32)
-        for k, v in data.items()
-    }
-
-    trainer = Trainer(model, TrainConfig(batch_size=BATCH, epochs=1))
-    trainer._build_steps()
-    params = trainer.init_params(sample_host)
-    opt_state = trainer.tx.init(params)
-    mstate = M.init_metrics()
-
-    # Production schedule: the whole epoch is ONE scan dispatch with
-    # device-resident data (training.loop's fit path). Epoch 0 pays
-    # compile; best-of-3 steady epochs is the recorded number.
-    for it in range(1):
+        # Production schedule: the whole epoch is ONE scan dispatch with
+        # device-resident data (training.loop's fit path). Epoch 0 pays
+        # compile; best-of-8 steady epochs is the recorded number.
         params, opt_state, mstate = trainer._train_epoch(
             params, opt_state, mstate, data, labels_d,
-            jax.random.PRNGKey(it), n=n, batch_size=BATCH, shuffle=True,
+            jax.random.PRNGKey(0), n=n, batch_size=batch, shuffle=True,
         )
-    hard_sync(params)  # block_until_ready returns early on this backend
-    # Best-of-8 spread over ~30 s: the axon tunnel has multi-minute slow
-    # phases (up to ~4x, CLAUDE.md) — back-to-back repeats all land in the
-    # same phase, so space the samples to give the best-of a chance to
-    # catch a clean window. Each epoch is <1 s of device time; the sleeps
-    # dominate the added wall cost.
-    best_dt = float("inf")
-    for it in range(8):
-        t0 = time.perf_counter()
-        params, opt_state, mstate = trainer._train_epoch(
-            params, opt_state, mstate, data, labels_d,
-            jax.random.PRNGKey(10 + it), n=n, batch_size=BATCH, shuffle=True,
-        )
-        hard_sync(params)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-        if it < 7:
-            time.sleep(4.0)
+        hard_sync(params)  # block_until_ready returns early on this backend
+        # Best-of-8 spread over ~30 s: the axon tunnel has multi-minute
+        # slow phases (up to ~4x, CLAUDE.md) — back-to-back repeats all
+        # land in the same phase, so space the samples to give the best-of
+        # a chance to catch a clean window. Each epoch is <1 s of device
+        # time; the sleeps dominate the added wall cost.
+        best_dt = float("inf")
+        for it in range(8):
+            t0 = time.perf_counter()
+            params, opt_state, mstate = trainer._train_epoch(
+                params, opt_state, mstate, data, labels_d,
+                jax.random.PRNGKey(10 + it), n=n, batch_size=batch,
+                shuffle=True,
+            )
+            hard_sync(params)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+            if it < 7:
+                time.sleep(4.0)
+        return n / best_dt / n_chips
 
-    eps = n / best_dt / n_chips
-    vs = eps / BASELINE_LOCAL if BASELINE_LOCAL else 1.0
+    # Both protocol rows (VERDICT r2 #6): batch 8192 is the r1 protocol —
+    # vs_baseline is computed LIKE-FOR-LIKE against the pinned r1 number at
+    # the same batch; batch 65536 is the production headline config.
+    eps_8192 = measure(8192, 64)
+    eps_65536 = measure(BATCH, STEPS)
     print(
         json.dumps(
             {
                 "metric": "deepfm_train_examples_per_sec_per_chip",
-                "value": round(eps, 1),
-                "unit": f"examples/s/chip (batch {BATCH}; r1 baseline was batch 8192)",
-                "vs_baseline": round(vs, 3),
+                "value": round(eps_65536, 1),
+                "unit": f"examples/s/chip (batch {BATCH}; vs_baseline is "
+                "like-for-like batch 8192 vs the pinned r1 number)",
+                "vs_baseline": round(eps_8192 / BASELINE_LOCAL, 3),
+                "batch_8192": round(eps_8192, 1),
+                "batch_65536": round(eps_65536, 1),
+                "vs_baseline_batch_65536": round(eps_65536 / BASELINE_LOCAL, 3),
             }
         )
     )

@@ -18,7 +18,12 @@ Reference graph (DIEN.py:162-310):
 - "reference": the exact math above (it *rewards* large aux scores — a
   reference quirk, preserved as the parity default);
 - "paper": the published DIEN auxiliary loss,
-  -log(pos) - log(1 - neg), which is what the architecture intends.
+  -log(pos) - log(1 - neg), which is what the architecture intends;
+- "none": the aux heads are STRUCTURALLY skipped — no aux params, no aux
+  compute, aux output is a constant zero. (Setting alpha=0 does NOT
+  remove the compute: XLA's algebraic simplifier won't fold float
+  `0.0 * aux` because of NaN/Inf semantics — ADVICE r2 #1. Use this mode
+  for inference towers and for honest cost attribution.)
 
 Negative samples are generated in the data layer
 (`sparrowrecsys_tpu.data.negatives.add_dien_negatives`) with a seeded JAX
@@ -81,6 +86,14 @@ class DIEN(nn.Module):
     #: its merged [B, T+1] gather (measured +1.6% there, where candidate
     #: and history feed the same attention block).
     merged_gather: bool = False
+    #: route GRU/AUGRU through the hand-written recurrence backward (weight
+    #: grads as one stacked [T*B, H] matmul outside the scan — see
+    #: ops/augru.py). Measured a WASH at the bench config (0.967x,
+    #: tools/dien_vjp_exp.py, v5e batch 65536: the in-scan dW matmuls the
+    #: custom path removes cost about what its residual stacking adds) —
+    #: default stays the lax.scan autodiff per the repo's dispatch
+    #: convention; the custom path ships tested for revisit at larger H/T.
+    recurrence_custom_vjp: bool = False
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -120,7 +133,14 @@ class DIEN(nn.Module):
         # Candidate + history + negative history can ride ONE [B, 2T]
         # gather of the shared table instead of three (see din.py /
         # features.py merged_embed_bias rationale; bitwise identical).
-        neg_ids = jnp.stack([features[c] for c in negative_cols(t)], axis=-1)
+        if self.aux_mode == "none":
+            # No aux heads -> no negative-history columns required (and no
+            # neg gather in the graph).
+            neg_ids = jnp.zeros((hist_ids.shape[0], t - 1), hist_ids.dtype)
+        else:
+            neg_ids = jnp.stack(
+                [features[c] for c in negative_cols(t)], axis=-1
+            )
         if self.merged_gather:
             chn = movie_emb(
                 jnp.concatenate(
@@ -136,7 +156,12 @@ class DIEN(nn.Module):
             neg = movie_emb(neg_ids)                                 # [B, T-1, D]
 
         # Masked GRU: padded steps carry state (Keras mask_zero parity).
-        hidden = gru(self._gru_params("gru", d, d), hist, hist_mask)  # [B, T, D]
+        hidden = gru(
+            self._gru_params("gru", d, d),
+            hist,
+            hist_mask,
+            custom_vjp=self.recurrence_custom_vjp,
+        )                                                            # [B, T, D]
 
         # Attention (DIEN.py:184-213): product with repeated candidate ->
         # Dense(32, sigmoid) -> Dense(1, sigmoid) -> broadcast to [B, 5, D].
@@ -150,7 +175,9 @@ class DIEN(nn.Module):
             z=self._augru_gate("augru_z", d),
             h=self._augru_gate("augru_h", d),
         )
-        interest = augru(augru_params, hidden, att)                 # [B, D]
+        interest = augru(
+            augru_params, hidden, att, custom_vjp=self.recurrence_custom_vjp
+        )                                                            # [B, D]
 
         user_profile = jnp.concatenate(
             [
@@ -182,6 +209,11 @@ class DIEN(nn.Module):
         x = PReLU(name="prelu1")(nn.Dense(128, name="fc1")(x))
         x = PReLU(name="prelu2")(nn.Dense(64, name="fc2")(x))
         logits = nn.Dense(1, name="out")(x)[..., 0]
+
+        if self.aux_mode == "none":
+            # Structural skip: no aux params, no aux compute (alpha=0
+            # would NOT DCE the heads — ADVICE r2 #1).
+            return logits, jnp.zeros_like(logits)
 
         # Auxiliary head (DIEN.py:275-308): hidden[:, :T-1] vs next-step
         # positive hist[:, 1:T] and negative neg[:, :T-1]. The pos/neg
@@ -244,7 +276,10 @@ def dien_loss_fn(alpha: float = 0.5, aux_mode: str = "reference"):
     def fn(apply_fn, params, feats, labels, mask):
         logits, aux = apply_fn({"params": params}, feats)
         bce = optax.sigmoid_binary_cross_entropy(logits, labels)
-        per_ex = bce + sign * alpha * aux
+        if aux_mode == "none":
+            per_ex = bce  # structural: no aux term in the graph at all
+        else:
+            per_ex = bce + sign * alpha * aux
         loss = jnp.sum(per_ex * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         # Report the FULL optimized objective as the loss metric (Keras
         # reports the compiled loss incl. add_loss terms) — reporting bare

@@ -88,7 +88,28 @@ def _normalize_rows(items: jnp.ndarray, dtype) -> jnp.ndarray:
     return mn.astype(dtype)
 
 
-def prepare_catalog(items: jnp.ndarray, dtype=None) -> jnp.ndarray:
+class PreparedCatalog:
+    """Type-level witness that an item matrix went through
+    `prepare_catalog` (rows normalized, possibly bf16-resident). The
+    prepared entry points only accept this wrapper, so a raw un-normalized
+    matrix can't be fed to the skip-normalization path by mistake
+    (ADVICE r2 #3 — silently wrong rankings otherwise)."""
+
+    __slots__ = ("rows",)
+
+    def __init__(self, rows: jnp.ndarray):
+        self.rows = rows
+
+    @property
+    def shape(self):
+        return self.rows.shape
+
+    @property
+    def dtype(self):
+        return self.rows.dtype
+
+
+def prepare_catalog(items: jnp.ndarray, dtype=None) -> PreparedCatalog:
     """One-time serving-side preparation of an item matrix for repeated
     top-k queries: row-normalize once (instead of per call) and, on TPU
     at >= `RESIDENT_BF16_MIN_ITEMS` rows, store bf16 — half the HBM
@@ -104,7 +125,7 @@ def prepare_catalog(items: jnp.ndarray, dtype=None) -> jnp.ndarray:
             dtype = jnp.bfloat16
         else:
             dtype = items.dtype
-    return _normalize_rows(items, dtype)
+    return PreparedCatalog(_normalize_rows(items, dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
@@ -122,14 +143,20 @@ def _topk_prepared(queries, prepared, k, approx):
 
 
 def cosine_topk_prepared(
-    queries: jnp.ndarray, prepared: jnp.ndarray, k: int
+    queries: jnp.ndarray, prepared: PreparedCatalog, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k against a `prepare_catalog` output: skips the per-call item
     normalization and applies the same measured exact/approx dispatch as
     `cosine_topk_auto`. Scores are always fp32 (bf16 inputs accumulate
     in fp32 via `preferred_element_type`)."""
+    if not isinstance(prepared, PreparedCatalog):
+        raise TypeError(
+            "cosine_topk_prepared needs a prepare_catalog() output "
+            "(PreparedCatalog); got a raw array — its rows may not be "
+            "normalized, which would silently corrupt the ranking."
+        )
     approx = topk_dispatch(prepared.shape[0]) == "approx_max_k"
-    return _topk_prepared(queries, prepared, k, approx)
+    return _topk_prepared(queries, prepared.rows, k, approx)
 
 
 def topk_dispatch(n_items: int) -> str:
@@ -176,8 +203,17 @@ def sharded_cosine_topk(
     prepared=True means `items` came from `prepare_catalog` (rows already
     normalized, possibly bf16-resident): the per-shard stage skips the
     normalization and streams half the bytes — row normalization is
-    row-local, so sharding commutes with preparation.
+    row-local, so sharding commutes with preparation. A `PreparedCatalog`
+    passed as `items` implies prepared=True; passing prepared=True with a
+    raw array is a TypeError (ADVICE r2 #3).
     """
+    if isinstance(items, PreparedCatalog):
+        items, prepared = items.rows, True
+    elif prepared:
+        raise TypeError(
+            "sharded_cosine_topk(prepared=True) needs a prepare_catalog() "
+            "output (PreparedCatalog), not a raw array."
+        )
     n_model = mesh.shape[model_axis]
     m = items.shape[0]
     block = -(-m // n_model)

@@ -179,3 +179,46 @@ def test_trainer_eval_matches_prediction_order(ds):
     res = tr.fit(ds, verbose=False)
     probs = tr.predict(res.params, ds)
     assert len(probs) == len(ds)
+
+
+def test_dien_aux_none_structural_skip():
+    """aux_mode='none' must (a) not require negative columns, (b) create no
+    aux params, and (c) produce the same logits as the reference mode for
+    the same seed (flax derives per-param RNG from the path, so shared
+    params init identically)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparrowrecsys_tpu.models.dien import DIEN
+
+    rng = np.random.default_rng(0)
+    b = 8
+    feats = {
+        "movieId": jnp.asarray(rng.integers(1, 1001, b)),
+        "userId": jnp.asarray(rng.integers(1, 30001, b)),
+        "userGenre1": jnp.asarray(rng.integers(0, 19, b)),
+        "movieGenre1": jnp.asarray(rng.integers(0, 19, b)),
+    }
+    for c in ("releaseYear", "movieRatingCount", "movieAvgRating",
+              "movieRatingStddev", "userRatingCount", "userAvgRating",
+              "userRatingStddev"):
+        feats[c] = jnp.asarray(rng.normal(size=b).astype(np.float32))
+    for k in range(1, 6):
+        feats[f"userRatedMovie{k}"] = jnp.asarray(rng.integers(0, 1001, b))
+    feats_with_neg = dict(feats)
+    for k in range(2, 6):
+        feats_with_neg[f"negativeUserRatedMovie{k}"] = jnp.asarray(
+            rng.integers(1, 1001, b)
+        )
+
+    m_none = DIEN(aux_mode="none")
+    p_none = m_none.init(jax.random.PRNGKey(0), feats)["params"]  # no neg cols
+    assert not any(k.startswith("aux_") for k in p_none)
+
+    m_ref = DIEN(aux_mode="reference")
+    p_ref = m_ref.init(jax.random.PRNGKey(0), feats_with_neg)["params"]
+    logits_none, aux_none = m_none.apply({"params": p_none}, feats)
+    logits_ref, _ = m_ref.apply({"params": p_ref}, feats_with_neg)
+    np.testing.assert_array_equal(np.asarray(logits_none), np.asarray(logits_ref))
+    np.testing.assert_array_equal(np.asarray(aux_none), 0.0)

@@ -303,3 +303,124 @@ def test_fm_cross_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(fm_cross_bwd(x, g)), np.asarray(auto), rtol=1e-4, atol=1e-4
     )
+
+
+class TestRecurrenceCustomVJP:
+    """The hand-written GRU/AUGRU backwards (weight grads as ONE stacked
+    [T*B, H] matmul, ops/augru.py) must match lax.scan autodiff: forward
+    bitwise, gradients to f32-reassociation tolerance."""
+
+    def _gru_params(self, d, rng):
+        return GRUParams(
+            kernel=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.3),
+            recurrent=jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.3),
+            bias=jnp.asarray(rng.normal(size=(3 * d,)).astype(np.float32) * 0.1),
+        )
+
+    def _augru_params(self, d, rng):
+        g = lambda: AUGRUGate(
+            w=jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3),
+            b=jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+            u=jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3),
+        )
+        return AUGRUParams(r=g(), z=g(), h=g())
+
+    @pytest.mark.parametrize("with_mask", [False, True])
+    def test_gru_grads_match_autodiff(self, with_mask):
+        rng = np.random.default_rng(0)
+        b, t, d = 7, 6, 5
+        params = self._gru_params(d, rng)
+        x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        mask = (
+            jnp.asarray(rng.random((b, t)) < 0.7) if with_mask else None
+        )
+        # Weighted sum so every (b, t, h) output position carries a distinct
+        # cotangent (catches transposition/ordering bugs a plain sum hides).
+        w = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+
+        def loss(p, xx, custom):
+            return jnp.sum(gru(p, xx, mask, custom_vjp=custom) * w)
+
+        out_c = gru(params, x, mask, custom_vjp=True)
+        out_a = gru(params, x, mask, custom_vjp=False)
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_a))
+
+        gc = jax.grad(loss, argnums=(0, 1))(params, x, True)
+        ga = jax.grad(loss, argnums=(0, 1))(params, x, False)
+        for a, b_ in zip(jax.tree.leaves(gc), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_augru_grads_match_autodiff(self):
+        rng = np.random.default_rng(1)
+        b, t, d = 7, 6, 5
+        params = self._augru_params(d, rng)
+        states = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        att = jnp.asarray(rng.random((b, t, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+        def loss(p, s, a, custom):
+            return jnp.sum(augru(p, s, a, custom_vjp=custom) * w)
+
+        out_c = augru(params, states, att, custom_vjp=True)
+        out_a = augru(params, states, att, custom_vjp=False)
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_a))
+
+        gc = jax.grad(loss, argnums=(0, 1, 2))(params, states, att, True)
+        ga = jax.grad(loss, argnums=(0, 1, 2))(params, states, att, False)
+        for a, b_ in zip(jax.tree.leaves(gc), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_dien_model_grads_match_across_vjp_modes(self):
+        """End-to-end: the full DIEN loss gradient is the same (to f32
+        reassociation) with the custom recurrence backward on and off."""
+        from sparrowrecsys_tpu.models.dien import DIEN, dien_loss_fn
+
+        rng = np.random.default_rng(2)
+        b = 16
+        feats = {
+            "movieId": jnp.asarray(rng.integers(1, 1001, b)),
+            "userId": jnp.asarray(rng.integers(1, 30001, b)),
+            "userGenre1": jnp.asarray(rng.integers(0, 19, b)),
+            "movieGenre1": jnp.asarray(rng.integers(0, 19, b)),
+            "releaseYear": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "movieRatingCount": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "movieAvgRating": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "movieRatingStddev": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "userRatingCount": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "userAvgRating": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+            "userRatingStddev": jnp.asarray(rng.normal(size=b).astype(np.float32)),
+        }
+        for k in range(1, 6):
+            feats[f"userRatedMovie{k}"] = jnp.asarray(
+                rng.integers(0, 1001, b)
+            )
+        for k in range(2, 6):
+            feats[f"negativeUserRatedMovie{k}"] = jnp.asarray(
+                rng.integers(1, 1001, b)
+            )
+        labels = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+        msk = jnp.ones(b, np.float32)
+        loss_fn = dien_loss_fn()
+
+        grads, losses = {}, {}
+        for custom in (True, False):
+            model = DIEN(recurrence_custom_vjp=custom)
+            params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+            def loss(p):
+                return loss_fn(model.apply, p, feats, labels, msk)[0]
+
+            losses[custom] = float(loss(params))
+            grads[custom] = jax.grad(loss)(params)
+
+        assert losses[True] == losses[False]
+        for a, b_ in zip(
+            jax.tree.leaves(grads[True]), jax.tree.leaves(grads[False])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6
+            )

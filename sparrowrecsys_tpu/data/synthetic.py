@@ -90,3 +90,127 @@ def synthetic_ctr_dataset(
     )
     labels = (logit + 0.5 * rng.normal(size=n) > 0).astype(np.float32)
     return EncodedDataset(feats, labels)
+
+
+def synthetic_sequence_ctr_dataset(
+    n: int,
+    movie_vocab: int = 1001,
+    user_vocab: int = 30001,
+    seed: int = 0,
+    t: int = 5,
+    recency: float = 0.6,
+    gain: float = 3.0,
+    compat_dim: int = 8,
+    markov_tau: float = 1.5,
+) -> EncodedDataset:
+    """CTR samples whose ONLY signal is *sequential*: the label depends on
+    a planted low-rank item-item compatibility between the candidate and
+    the recent history, with recency-decayed weights.
+
+        logit = gain * sum_t recency^t * <A[hist_t], B[cand]> / norm
+
+    The history itself is a Markov walk under the SAME planted kernel
+    (`markov_tau` scales the transition logits `tau*<A[i],B[j]>/sqrt(d)`;
+    tau=0 degenerates to iid-uniform history): each item is drawn given
+    the one before it, so "what comes next" is genuinely predictable from
+    the recent past — the structure DIEN's auxiliary next-click loss
+    (DIEN.py:275-308) exists to exploit.
+
+    Every other column (userId, genres, numerics) is independent noise, so:
+    - models without a history->candidate interaction channel (DeepFM's FM
+      cross is over id/user/genre embeddings; EmbeddingMLP sees only id
+      embeddings) are capped at AUC ~0.5;
+    - DIN's target attention (DIN.py:144-163 intent) can extract the
+      compatibility but its sum-pooling is PERMUTATION-INVARIANT over the
+      history, so the recency weighting and the walk direction are
+      invisible to it;
+    - DIEN's GRU/AUGRU consumes the history IN ORDER and its aux loss
+      directly supervises the planted transition — the architecture's
+      core claim (DIEN.py:181-262).
+
+    The planted matrices A, B are zero-mean random Gaussian rows, so
+    label|candidate carries ~no signal — candidate-id popularity
+    memorization doesn't help (pinned by a test). `oracle_logits`
+    (returned via the companion function below) gives the Bayes-optimal
+    score for ceiling checks.
+    """
+    feats, labels, _ = _sequence_ctr(
+        n, movie_vocab, user_vocab, seed, t, recency, gain, compat_dim,
+        markov_tau,
+    )
+    return EncodedDataset(feats, labels)
+
+
+def sequence_ctr_with_oracle(
+    n: int,
+    movie_vocab: int = 1001,
+    user_vocab: int = 30001,
+    seed: int = 0,
+    t: int = 5,
+    recency: float = 0.6,
+    gain: float = 3.0,
+    compat_dim: int = 8,
+    markov_tau: float = 1.5,
+):
+    """(EncodedDataset, oracle_logits): same generator, plus the planted
+    Bayes-optimal logit per example for AUC-ceiling measurement."""
+    feats, labels, logit = _sequence_ctr(
+        n, movie_vocab, user_vocab, seed, t, recency, gain, compat_dim,
+        markov_tau,
+    )
+    return EncodedDataset(feats, labels), logit
+
+
+def _markov_history(rng, a, b, n, t, tau, compat_dim, chunk=200_000):
+    """[n, t] walk, column t-1 oldest -> column 0 most recent (the
+    userRatedMovie1..t layout is most-recent-first). Ids in [1, vocab)."""
+    vocab = a.shape[0]
+    # Row-wise transition CDF over real items (id 0 is the mask id).
+    logits = tau * (a[1:] @ b[1:].T) / np.sqrt(compat_dim)
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits, dtype=np.float64)
+    cdf = np.cumsum(p, axis=1)
+    cdf /= cdf[:, -1:]
+    hist = np.empty((n, t), np.int32)
+    hist[:, t - 1] = rng.integers(1, vocab, n)
+    for step in range(t - 2, -1, -1):
+        u = rng.random(n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            rows = cdf[hist[lo:hi, step + 1] - 1]  # [c, vocab-1]
+            hist[lo:hi, step] = 1 + (
+                rows < u[lo:hi, None]
+            ).sum(axis=1).astype(np.int32)
+    return hist
+
+
+def _sequence_ctr(
+    n, movie_vocab, user_vocab, seed, t, recency, gain, compat_dim, markov_tau
+):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(movie_vocab, compat_dim)).astype(np.float32)
+    b = rng.normal(size=(movie_vocab, compat_dim)).astype(np.float32)
+    if markov_tau > 0:
+        hist = _markov_history(rng, a, b, n, t, markov_tau, compat_dim)
+    else:
+        hist = rng.integers(1, movie_vocab, (n, t)).astype(np.int32)
+    cand = rng.integers(1, movie_vocab, n).astype(np.int32)
+    w = (recency ** np.arange(t)).astype(np.float32)
+    compat = np.einsum("ntd,nd->nt", a[hist], b[cand]) / np.sqrt(compat_dim)
+    logit = gain * (compat @ w) / float(np.linalg.norm(w))
+    labels = (rng.random(n) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+
+    feats: Dict[str, np.ndarray] = {
+        "movieId": cand,
+        "userId": rng.integers(1, user_vocab, n).astype(np.int32),
+    }
+    for k in range(t):
+        feats[f"userRatedMovie{k + 1}"] = hist[:, k]
+    for c in ("userGenre1", "userGenre2", "userGenre3", "userGenre4",
+              "userGenre5", "movieGenre1", "movieGenre2", "movieGenre3"):
+        feats[c] = rng.integers(-1, 19, n).astype(np.int32)
+    for c in ("releaseYear", "movieRatingCount", "movieAvgRating",
+              "movieRatingStddev", "userRatingCount", "userAvgRating",
+              "userRatingStddev"):
+        feats[c] = rng.normal(size=n).astype(np.float32)
+    return feats, labels, logit.astype(np.float32)

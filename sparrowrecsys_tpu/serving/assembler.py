@@ -24,7 +24,7 @@ model sees behaviour the offline snapshot predates.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -88,6 +88,15 @@ class FeatureAssembler:
         self.store = store
         self.dm = dm
         self.realtime = realtime
+        # Movie-side block cache: every /getrecforyou request re-assembles
+        # the SAME top-800 candidate rows (the set is fixed post-load, like
+        # the candidate-matrix cache in processes.py) — measured 59% of the
+        # per-request cost (tools/rank_load.py microprofile). Keyed on the
+        # candidate tuple + store write counter + the candidates' total
+        # rating count, so nearline `mf:` writes and catalog add_rating
+        # both invalidate.
+        self._movie_block_key = None
+        self._movie_block_val = None
 
     # ---- per-entity rows --------------------------------------------------
     def user_row(self, user_id: int) -> Dict[str, float]:
@@ -165,14 +174,7 @@ class FeatureAssembler:
             feats[c] = np.full(n, int(u[c]), np.int32)
         for c in USER_FLOAT_COLS:
             feats[c] = np.full(n, float(u[c]), np.float32)
-        mg = np.full((n, len(MOVIE_GENRE_COLS)), -1, np.int32)
-        mf = np.zeros((n, len(MOVIE_FLOAT_COLS)), np.float32)
-        for j, mid in enumerate(movie_ids):
-            row = self.movie_row(int(mid))
-            for k, c in enumerate(MOVIE_GENRE_COLS):
-                mg[j, k] = int(row[c])
-            for k, c in enumerate(MOVIE_FLOAT_COLS):
-                mf[j, k] = float(row[c])
+        mg, mf = self.movie_block(movie_ids)
         for k, c in enumerate(MOVIE_GENRE_COLS):
             feats[c] = mg[:, k]
         for k, c in enumerate(MOVIE_FLOAT_COLS):
@@ -180,6 +182,35 @@ class FeatureAssembler:
         for c in extra_int_cols:
             feats[c] = np.zeros(n, np.int32)
         return feats
+
+    def movie_block(
+        self, movie_ids: Sequence[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """([n, 3] int32 genre indices, [n, 4] float32 numerics) for
+        movie_ids, cached across requests (see __init__ note)."""
+        ids = tuple(int(m) for m in movie_ids)
+        stat = 0
+        if self.dm is not None:
+            for mid in ids:
+                m = self.dm.get_movie_by_id(mid)
+                if m is not None:
+                    stat += m.rating_number
+        key = (ids, self.store.mutations, stat)
+        if self._movie_block_key == key:
+            return self._movie_block_val
+        n = len(ids)
+        mg = np.full((n, len(MOVIE_GENRE_COLS)), -1, np.int32)
+        mf = np.zeros((n, len(MOVIE_FLOAT_COLS)), np.float32)
+        for j, mid in enumerate(ids):
+            row = self.movie_row(mid)
+            for k, c in enumerate(MOVIE_GENRE_COLS):
+                mg[j, k] = int(row[c])
+            for k, c in enumerate(MOVIE_FLOAT_COLS):
+                mf[j, k] = float(row[c])
+        mg.setflags(write=False)
+        mf.setflags(write=False)
+        self._movie_block_key, self._movie_block_val = key, (mg, mf)
+        return mg, mf
 
     def example_features(
         self, n: int = 2, extra_int_cols: Sequence[str] = ()

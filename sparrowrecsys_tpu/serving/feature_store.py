@@ -38,10 +38,14 @@ class FeatureStore:
         self._hashes: Dict[str, Dict[str, str]] = {}
         self._strings: Dict[str, str] = {}
         self._expiry: Dict[str, float] = {}
+        #: write counter — readers (FeatureAssembler's movie-block cache)
+        #: key derived caches on it so any hset/set invalidates them.
+        self.mutations = 0
 
     # ---- redis-shaped API ----------------------------------------------
     def hset(self, key: str, mapping: Dict[str, str], ttl: Optional[int] = None) -> None:
         with self._lock:
+            self.mutations += 1
             self._hashes[key] = {k: str(v) for k, v in mapping.items()}
             if ttl:
                 self._expiry[key] = time.time() + ttl
@@ -57,6 +61,7 @@ class FeatureStore:
 
     def set(self, key: str, value: str, ttl: Optional[int] = None) -> None:
         with self._lock:
+            self.mutations += 1
             self._strings[key] = value
             if ttl:
                 self._expiry[key] = time.time() + ttl

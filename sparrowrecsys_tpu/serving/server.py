@@ -217,7 +217,19 @@ def main() -> None:
         help="feature_store.json (data/run.py --export-features) feeding "
         "the full-feature assembler; default <data-root>/feature_store.json",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="pin the JAX backend to CPU (env JAX_PLATFORMS is overridden "
+        "by sitecustomize in this environment; the config update is the "
+        "working escape hatch — CLAUDE.md). Use when the TPU is busy or "
+        "when serving should not contend with a training job.",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
     dm = DataManager().load_data(

@@ -184,3 +184,45 @@ def test_dien_serves_with_zero_negative_columns(sample_world):
     uid = int(np.asarray(table["userId"])[0])
     s = scorer.score(uid, [1, 2, 3])
     assert s.shape == (3,) and np.all(np.isfinite(s))
+
+
+def test_movie_block_cache_and_invalidation(sample_world):
+    """The movie-side block is cached across requests (59% of measured
+    request cost — tools/rank_load.py) and invalidated by BOTH write
+    surfaces: a store `mf:` hset and a catalog add_rating."""
+    table, store, ds = sample_world
+    from sparrowrecsys_tpu.serving.catalog import DataManager, Rating
+
+    dm = DataManager().load_data(
+        f"{DATA}/movies.csv", None, f"{DATA}/ratings.csv", None, None
+    )
+    asm = FeatureAssembler(store, dm)
+    mids = [int(m) for m in np.unique(np.asarray(table["movieId"]))[:8]]
+
+    a1 = asm.features(1, mids)
+    mg1, mf1 = asm.movie_block(mids)
+    mg2, mf2 = asm.movie_block(mids)
+    assert mg1 is mg2 and mf1 is mf2  # cache hit: same arrays
+
+    # store write -> rebuilt block reflects the new mf: hash
+    store.hset(f"mf:{mids[0]}", {"movieAvgRating": "9.99",
+                                 "movieGenre1": "Action"})
+    mg3, mf3 = asm.movie_block(mids)
+    assert mg3 is not mg1
+    assert mf3[0, 2] == np.float32(9.99)
+
+    # catalog add_rating on a candidate -> invalidated again
+    before = asm.movie_block(mids)
+    m = dm.get_movie_by_id(mids[1])
+    if m is not None:
+        m.add_rating(Rating(movie_id=mids[1], user_id=1, score=5.0,
+                            timestamp=1))
+        after = asm.movie_block(mids)
+        assert after[0] is not before[0]
+
+    # assembled features equal a fresh assembler's (cache is transparent)
+    fresh = FeatureAssembler(store, dm).features(1, mids)
+    again = asm.features(1, mids)
+    for k in fresh:
+        np.testing.assert_array_equal(fresh[k], again[k])
+    assert set(a1) == set(fresh)

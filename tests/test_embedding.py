@@ -104,6 +104,75 @@ class TestDeepWalk:
         for w in walks:
             assert len(w) <= 2
 
+    def test_csr_matches_dense_probabilities(self):
+        from sparrowrecsys_tpu.embedding.deepwalk import (
+            transition_csr, transition_matrix,
+        )
+
+        rng = np.random.default_rng(3)
+        seqs = [rng.integers(1, 12, rng.integers(2, 9)) for _ in range(40)]
+        vocab, trans, dist = transition_matrix(seqs)
+        csr = transition_csr(seqs)
+        np.testing.assert_array_equal(csr.vocab_ids, vocab)
+        np.testing.assert_allclose(csr.item_dist, dist, atol=1e-6)
+        v = len(vocab)
+        dense_from_csr = np.zeros((v, v), np.float64)
+        for i in range(v):
+            lo, hi = csr.rowptr[i], csr.rowptr[i + 1]
+            prev = 0.0
+            for e in range(lo, hi):
+                dense_from_csr[i, csr.dst[e]] = csr.cum[e] - prev
+                prev = csr.cum[e]
+        live = dist > 0  # dense path puts a self-loop on dead rows
+        np.testing.assert_allclose(
+            dense_from_csr[live], trans[live], atol=1e-5
+        )
+
+    def test_csr_walker_respects_graph_and_frequencies(self):
+        from sparrowrecsys_tpu.embedding.deepwalk import (
+            random_walks_csr, transition_csr,
+        )
+
+        # 1 -> 2 three times, 1 -> 3 once; 2/3 -> 1 to keep walks alive.
+        seqs = [np.array([1, 2, 1, 2, 1, 2]), np.array([1, 3]),
+                np.array([2, 1]), np.array([3, 1])]
+        csr = transition_csr(seqs)
+        cfg = DeepWalkConfig(sample_count=2000, sample_length=6, seed=0)
+        walks = random_walks_csr(csr, cfg)
+        allowed = {(1, 2), (1, 3), (2, 1), (3, 1)}
+        taken = {2: 0, 3: 0}
+        for w in walks:
+            for a, b in zip(w[:-1], w[1:]):
+                assert (int(a), int(b)) in allowed
+                if a == 1:
+                    taken[int(b)] += 1
+        frac = taken[2] / (taken[2] + taken[3])
+        # row 1 has 4 outgoing edges: 1->2 three times, 1->3 once
+        assert abs(frac - 0.75) < 0.05, frac
+
+    def test_csr_walker_dead_end_truncates(self):
+        from sparrowrecsys_tpu.embedding.deepwalk import (
+            random_walks_csr, transition_csr,
+        )
+
+        csr = transition_csr([np.array([1, 2])])
+        cfg = DeepWalkConfig(sample_count=32, sample_length=6, seed=0)
+        for w in random_walks_csr(csr, cfg):
+            assert len(w) <= 2
+
+    def test_random_walks_auto_dispatches_to_csr(self, monkeypatch):
+        import sparrowrecsys_tpu.embedding.deepwalk as dw
+
+        monkeypatch.setattr(dw, "DENSE_WALK_MAX_VOCAB", 2)
+        seqs = [np.array([1, 2]), np.array([2, 3]), np.array([3, 1])]
+        cfg = DeepWalkConfig(sample_count=64, sample_length=5, seed=0)
+        vocab, walks = dw.random_walks(seqs, cfg)
+        allowed = {(1, 2), (2, 3), (3, 1)}
+        for w in walks:
+            for a, b in zip(w[:-1], w[1:]):
+                assert (int(a), int(b)) in allowed
+
+
 
 class TestUserEmb:
     def test_mean_aggregation(self):

@@ -156,6 +156,13 @@ class ServingConfig:
     # `ABTest.java:14` and `RecForYouProcess.java:86`. Accept both spellings.
     neuralcf_aliases: Tuple[str, ...] = ("neuralcf", "nerualcf")
     webroot: Optional[str] = None             # static assets dir (frontend parity)
+    #: micro-batcher window for coalescing concurrent ranked requests into
+    #: one device dispatch. 0 = TF-Serving-style adaptive batching (score
+    #: whatever is pending immediately; batches grow naturally while one is
+    #: in flight). >0 trades that much added latency for bigger waves —
+    #: only worth it when per-dispatch overhead dominates (remote-attached
+    #: TPU; see BASELINE.md serving wave-ceiling section).
+    batch_wait_ms: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,6 +42,12 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._pending: List[Tuple[np.ndarray, threading.Event, dict]] = []
         self._leader_running = False
+        #: lifetime counters: scored requests and scorer invocations
+        #: (waves). requests/wave is the dispatch-amortization figure the
+        #: TPU-backend serving bench reports (each wave = one device
+        #: dispatch = one tunnel round-trip on remote attachment).
+        self.n_requests = 0
+        self.n_waves = 0
 
     def submit(self, query: np.ndarray) -> np.ndarray:
         """Block until this query's row is scored; thread-safe."""
@@ -98,6 +104,9 @@ class MicroBatcher:
         with self._lock:
             batch = self._pending[: self.max_batch]
             self._pending = self._pending[self.max_batch :]
+        with self._lock:
+            self.n_requests += len(batch)
+            self.n_waves += 1
         try:
             queries = np.stack([q for q, _, _ in batch])
             if len(batch) < self.max_batch:
@@ -117,4 +126,11 @@ class MicroBatcher:
 
     def stats(self) -> dict:
         with self._lock:
-            return {"pending": len(self._pending)}
+            return {
+                "pending": len(self._pending),
+                "requests": self.n_requests,
+                "waves": self.n_waves,
+                "requests_per_wave": round(
+                    self.n_requests / self.n_waves, 2
+                ) if self.n_waves else None,
+            }

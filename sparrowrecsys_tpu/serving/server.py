@@ -53,12 +53,14 @@ class RecSysServer:
         self.config = config or ServingConfig()
         self.similar = SimilarMovieProcess(dm)
         # Micro-batched by default: concurrent /getrecforyou?model=emb
-        # requests coalesce into one [B, 800] cosine dispatch. max_wait=0
-        # (TF-Serving-style adaptive batching): the leader scores whatever
-        # is pending immediately — zero added latency at low load, natural
-        # batch growth while a batch is in flight at high load.
+        # requests coalesce into one [B, 800] cosine dispatch. The window
+        # comes from ServingConfig.batch_wait_ms (default 0 = TF-Serving-
+        # style adaptive batching: the leader scores whatever is pending
+        # immediately — zero added latency at low load, natural batch
+        # growth while a batch is in flight at high load).
         self.rec_for_you = RecForYouProcess(
-            dm, scorer, micro_batch=True, batch_wait_ms=0.0, scorers=scorers
+            dm, scorer, micro_batch=True,
+            batch_wait_ms=self.config.batch_wait_ms, scorers=scorers,
         )
         self.ab_test = ab_test
         self.webroot = webroot or self.config.webroot or os.path.join(

@@ -130,6 +130,11 @@ class TrainConfig:
     #: `EmbeddingMLP.py:14-22`). Opt-in; parity bands police quality.
     shuffle_mode: str = "exact"
     shuffle_block: int = 1024
+    #: lax.scan unroll for the device-resident epoch loop. >1 replicates
+    #: the step body inside the compiled while-loop, amortizing per-
+    #: iteration loop overhead; numerics identical. Measured on v5e at the
+    #: bench protocol before changing (tools/step_floor.py).
+    epoch_unroll: int = 1
     seed: int = 42
     checkpoint_dir: str = "checkpoints"
     checkpoint_keep: int = 5        # reference keeps numbered versions 001..005 (MLPRec)

@@ -236,7 +236,8 @@ class Trainer:
                 return train_step(p, o, m, feats, labels, x["m"]), None
 
             (params, opt_state, mstate), _ = jax.lax.scan(
-                body, (params, opt_state, mstate), xs
+                body, (params, opt_state, mstate), xs,
+                unroll=self.config.epoch_unroll,
             )
             return params, opt_state, mstate
 

@@ -138,3 +138,21 @@ def test_blocks_shuffle_mode():
         assert float(m.count) == n, block
         em = M.finalize_metrics(m)
         assert np.isfinite(float(em["loss"])), block
+
+
+def test_epoch_unroll_preserves_trajectory():
+    """epoch_unroll replicates the scan body — same batch schedule, same
+    math. XLA fuses the replicated bodies differently, so allow f32
+    reassociation noise (measured ~1e-9 rel) but nothing more."""
+    ds = synthetic_ctr_dataset(1024, seed=5)
+    results = []
+    for unroll in (1, 2, 4):
+        cfg = TrainConfig(batch_size=128, epochs=2, seed=0,
+                          epoch_unroll=unroll)
+        res = Trainer(build_model("deepfm"), cfg).fit(ds, verbose=False)
+        results.append(jax.tree_util.tree_leaves(res.params))
+    for leaves in results[1:]:
+        for a, b in zip(results[0], leaves):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )

@@ -9,7 +9,9 @@ TPU-native design: sequences are flattened to (center, context) pair arrays
 once on host (O(total pairs), numpy); training is a single jitted SGNS step
 over large batches — embedding gathers + a [B, 1+neg] dot + sigmoid loss,
 with negatives drawn on device from the unigram^0.75 distribution via
-inverse-CDF (`searchsorted` on a precomputed cumulative table).
+Walker alias tables (2 gathers/draw; in-scan `searchsorted` over the CDF
+measured 42 ms of a 51 ms step at V=27k — tile-amplified binary-search
+gathers, see build_alias_table).
 
 Documented divergence: MLlib Word2Vec optimizes hierarchical softmax;
 SGNS is the standard modern equivalent and produces cosine-neighborhoods
@@ -146,53 +148,110 @@ def _sgns_math(emb_in, emb_out, centers, contexts, neg_idx, lr):
     return emb_in, emb_out, loss
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("negatives", "batch_size", "total_steps"),
-    donate_argnums=(0, 1),
-)
-def _sgns_epoch(
-    emb_in, emb_out, centers, contexts, neg_cdf, key, lr0, step0,
-    *, negatives, batch_size, total_steps,
-):
-    """One dispatch per epoch: on-device pair shuffle + `lax.scan` over all
-    batches (same latency-amortization design as `training.loop`'s
-    train_epoch). lr decays linearly with the global step.
+#: Upper bound on scan length per device dispatch. A 20M-event epoch is
+#: ~1200 steps; dispatching it as ONE scan reproducibly crashed the axon
+#: TPU worker ("kernel fault", tools/emb_scale.py 2026-08-19) while
+#: short dispatches run fine — so an epoch is a python loop of bounded
+#: scan chunks (identical math; per-dispatch latency amortizes across
+#: 256 steps essentially as well as across 1200).
+MAX_STEPS_PER_DISPATCH = 256
 
-    The epoch permutation is applied ONCE to the (center, context) pair
-    arrays, which the scan then consumes as contiguous xs slices — the
-    same restructuring as train_epoch (tools/step_exp7.py): a random [B]
-    gather inside the scan reads a whole (8, 128) tile per 4-byte index
-    on TPU, so it belongs outside the step's critical path."""
+
+@functools.partial(jax.jit, static_argnames=("steps", "batch_size"))
+def _perm_pairs(centers, contexts, key, *, steps, batch_size):
+    """Apply the epoch permutation ONCE and lay the pairs out as
+    contiguous [steps, batch] xs (same restructuring as train_epoch,
+    tools/step_exp7.py: a random [B] gather inside the scan reads a whole
+    (8, 128) tile per 4-byte index on TPU, so it belongs outside the
+    step's critical path)."""
     n = centers.shape[0]
-    steps = max(n // batch_size, 1)
-    kperm, kscan = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n)
+    perm = jax.random.permutation(key, n)
     pad = steps * batch_size - n if steps * batch_size > n else 0
     if pad:
         perm = jnp.concatenate([perm, perm[:pad]])
     perm = perm[: steps * batch_size]
     c_all = jnp.take(centers, perm, axis=0).reshape(steps, batch_size)
     x_all = jnp.take(contexts, perm, axis=0).reshape(steps, batch_size)
-    # Negative sampling stays IN the scan body: hoisting it out (one
-    # vmapped threefry + searchsorted over [S, B, N], same keys, bit-
-    # identical) measured 17% SLOWER (tools/sgns_exp2.py, v5e: 0.577 vs
-    # 0.493 ms/step) — in-scan RNG overlaps with the step's gathers and
-    # matmuls, while the hoisted version serializes the whole sampling
-    # pass ahead of the scan inside the same dispatch.
-    step_keys = jax.random.split(kscan, steps)
+    return c_all, x_all
+
+
+def build_alias_table(p: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Walker alias tables (prob [V] f32, alias [V] i32) for a categorical
+    distribution — O(V) host build, O(1) device sampling (2 gathers).
+
+    Replaces in-scan `searchsorted` over the unigram^0.75 CDF, which
+    measured 42 ms of a 51 ms SGNS step at V=27k (tools output recorded
+    in BASELINE.md): each of its ~15 binary-search iterations random-
+    gathers [B*N] 4-byte probes, and every probe reads a whole (8, 128)
+    tile — ~20 GB of tile-amplified HBM traffic per step. Alias sampling
+    is two gathers total and distribution-exact."""
+    p = np.asarray(p, np.float64)
+    v = len(p)
+    scaled = p / p.sum() * v
+    prob = np.ones(v, np.float64)
+    alias = np.arange(v, dtype=np.int64)
+    small = [i for i in range(v) if scaled[i] < 1.0]
+    large = [i for i in range(v) if scaled[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias.astype(np.int32)
+
+
+def pack_alias(prob: np.ndarray, alias: np.ndarray) -> jnp.ndarray:
+    """[V, 2] f32 (prob, alias) so a draw is ONE row gather. The alias id
+    rides as float32 — exact for V < 2^24 (ids are small integers)."""
+    return jnp.asarray(
+        np.stack([prob, alias.astype(np.float32)], axis=1)
+    )
+
+
+def _alias_draw(packed, k, shape):
+    ku, kv = jax.random.split(k)
+    v = packed.shape[0]
+    idx = jax.random.randint(ku, shape, 0, v)
+    pa = jnp.take(packed, idx, axis=0)               # [..., 2] one gather
+    keep = jax.random.uniform(kv, shape) < pa[..., 0]
+    return jnp.where(keep, idx, pa[..., 1].astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("negatives", "batch_size", "total_steps"),
+    donate_argnums=(0, 1),
+)
+def _sgns_scan(
+    emb_in, emb_out, c_chunk, x_chunk, neg_packed, key, lr0, step0,
+    *, negatives, batch_size, total_steps,
+):
+    """One scan dispatch over a chunk of pre-permuted steps; lr decays
+    linearly with the global step.
+
+    Negative sampling stays IN the scan body: hoisting it out (one
+    vmapped threefry + searchsorted over [S, B, N], same keys, bit-
+    identical) measured 17% SLOWER (tools/sgns_exp2.py, v5e: 0.577 vs
+    0.493 ms/step) — in-scan RNG overlaps with the step's gathers and
+    matmuls, while the hoisted version serializes the whole sampling
+    pass ahead of the scan inside the same dispatch. Sampling is by
+    alias tables (see build_alias_table), not CDF search."""
+    steps = c_chunk.shape[0]
+    step_keys = jax.random.split(key, steps)
 
     def body(carry, x):
         ei, eo, t = carry
         c, cx, k = x
         lr = lr0 * jnp.maximum(1.0 - t / total_steps, 1e-4)
-        r = jax.random.uniform(k, (batch_size, negatives))
-        neg = jnp.searchsorted(neg_cdf, r)           # [B, N] unigram^0.75
+        neg = _alias_draw(
+            neg_packed, k, (batch_size, negatives)
+        )                                            # [B, N] unigram^0.75
         ei, eo, _ = _sgns_math(ei, eo, c, cx, neg, lr)
         return (ei, eo, t + 1.0), None
 
     (emb_in, emb_out, _), _ = jax.lax.scan(
-        body, (emb_in, emb_out, step0), (c_all, x_all, step_keys)
+        body, (emb_in, emb_out, step0), (c_chunk, x_chunk, step_keys)
     )
     return emb_in, emb_out
 
@@ -203,6 +262,7 @@ def train_sgns(
     vocab_size: int,
     counts: np.ndarray,
     config: Item2VecConfig,
+    verbose: bool = False,
 ) -> np.ndarray:
     """SGNS over pre-extracted pairs; returns the input embedding table.
 
@@ -211,8 +271,7 @@ def train_sgns(
     v = vocab_size
     if v == 0 or len(centers) == 0:
         return np.zeros((v, config.dim), np.float32)
-    p = counts ** 0.75
-    neg_cdf = jnp.asarray(np.cumsum(p / p.sum()), jnp.float32)
+    neg_packed = pack_alias(*build_alias_table(counts ** 0.75))
 
     key = jax.random.PRNGKey(config.seed)
     k1, key = jax.random.split(key)
@@ -227,13 +286,40 @@ def train_sgns(
     total = float(config.epochs * steps)
     centers_d = jnp.asarray(centers)
     contexts_d = jnp.asarray(contexts)
+    chunk = min(steps, MAX_STEPS_PER_DISPATCH)
+    import time as _time
+
     for epoch in range(config.epochs):
-        key, sub = jax.random.split(key)
-        emb_in, emb_out = _sgns_epoch(
-            emb_in, emb_out, centers_d, contexts_d, neg_cdf, sub,
-            jnp.float32(config.learning_rate), jnp.float32(epoch * steps),
-            negatives=config.negatives, batch_size=bs, total_steps=total,
+        key, kperm = jax.random.split(key)
+        t0 = _time.perf_counter()
+        c_all, x_all = _perm_pairs(
+            centers_d, contexts_d, kperm, steps=steps, batch_size=bs
         )
+        # Bounded-length scan dispatches (see MAX_STEPS_PER_DISPATCH). At
+        # most two compiled chunk shapes: `chunk` and the remainder.
+        for lo in range(0, steps, chunk):
+            hi = min(lo + chunk, steps)
+            key, sub = jax.random.split(key)
+            emb_in, emb_out = _sgns_scan(
+                emb_in, emb_out,
+                jax.lax.slice_in_dim(c_all, lo, hi),
+                jax.lax.slice_in_dim(x_all, lo, hi),
+                neg_packed, sub,
+                jnp.float32(config.learning_rate),
+                jnp.float32(epoch * steps + lo),
+                negatives=config.negatives, batch_size=bs,
+                total_steps=total,
+            )
+        if verbose:
+            # Forced sync (block_until_ready returns early on axon) so the
+            # per-epoch print localizes failures and times honestly.
+            _ = np.asarray(emb_in[0, 0])
+            print(
+                f"  sgns epoch {epoch + 1}/{config.epochs}: "
+                f"{_time.perf_counter() - t0:.1f}s "
+                f"({steps * bs / (_time.perf_counter() - t0) / 1e6:.2f}M pairs/s)",
+                flush=True,
+            )
     return np.asarray(emb_in)
 
 

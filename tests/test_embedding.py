@@ -78,6 +78,34 @@ class TestItem2Vec:
             ok += sum(1 for mid, _ in syn if (mid - 1) // 10 == (int(v) - 1) // 10)
         assert ok >= 45, ok
 
+    def test_alias_table_distribution_exact(self):
+        from sparrowrecsys_tpu.embedding.item2vec import (
+            _alias_draw, build_alias_table,
+        )
+
+        rng = np.random.default_rng(0)
+        p = (rng.random(37) + 0.05) ** 0.75
+        prob, alias = build_alias_table(p)
+        # Exact reconstruction: each cell contributes prob[i] to i and
+        # (1 - prob[i]) to alias[i]; the mixture must equal p/p.sum().
+        recon = np.zeros(37)
+        for i in range(37):
+            recon[i] += prob[i]
+            recon[alias[i]] += 1.0 - prob[i]
+        np.testing.assert_allclose(recon / 37, p / p.sum(), atol=1e-6)
+
+        import jax
+
+        from sparrowrecsys_tpu.embedding.item2vec import pack_alias
+
+        draws = np.asarray(
+            _alias_draw(pack_alias(prob, alias),
+                        jax.random.PRNGKey(0), (200_000,))
+        )
+        emp = np.bincount(draws, minlength=37) / len(draws)
+        np.testing.assert_allclose(emp, p / p.sum(), atol=5e-3)
+
+
 
 class TestDeepWalk:
     def test_transition_matrix_probs(self):

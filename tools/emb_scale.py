@@ -111,7 +111,8 @@ def main() -> None:
           f"{out['pairs_s']}s", flush=True)
 
     t0 = time.perf_counter()
-    emb = train_sgns(centers, contexts, len(vocab_ids), counts, cfg)
+    emb = train_sgns(centers, contexts, len(vocab_ids), counts, cfg,
+                     verbose=True)
     hard_sync(emb)
     out["sgns_s"] = round(time.perf_counter() - t0, 1)
     out["sgns_pairs_per_sec"] = round(

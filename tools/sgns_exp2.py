@@ -1,12 +1,15 @@
 """A/B: SGNS negative sampling hoisted out of the scan vs in-scan.
 
-NEGATIVE RESULT (v5e, 2026-08-18): pre-sampling every step's negatives
-before the scan (one vmapped threefry + searchsorted over [S, B, N],
-same per-step keys, bit-identical trajectory) is 17% SLOWER than the
-in-scan draw (0.577 vs 0.493 ms/step) — the in-scan RNG overlaps with
-the step's gathers/matmuls, while the hoisted pass serializes ahead of
-the scan inside the same dispatch. `_sgns_epoch` keeps in-scan sampling;
-this tool preserves the hoisted variant for re-measure.
+NEGATIVE RESULT (v5e, 2026-08-18, CDF-searchsorted era): pre-sampling
+every step's negatives before the scan (one vmapped threefry +
+searchsorted over [S, B, N], same per-step keys, bit-identical
+trajectory) was 17% SLOWER than the in-scan draw (0.577 vs 0.493
+ms/step) — the in-scan RNG overlaps with the step's gathers/matmuls,
+while the hoisted pass serializes ahead of the scan inside the same
+dispatch. 2026-08-19: sampling moved to Walker alias tables (searchsorted
+itself measured 42 of 51 ms/step at V=27k — BASELINE.md); this tool now
+re-measures the hoist question under alias sampling. In-scan remains the
+shipped layout (`item2vec._sgns_scan`).
 
     python tools/sgns_exp2.py
 """
@@ -24,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparrowrecsys_tpu.embedding.item2vec import _sgns_epoch, _sgns_math
+from sparrowrecsys_tpu.embedding.item2vec import (
+    _alias_draw, _sgns_math, _sgns_scan, build_alias_table, pack_alias,
+)
 from sparrowrecsys_tpu.training.loop import hard_sync
 
 VOCAB = 1001
@@ -39,22 +44,16 @@ NEG = 5
     static_argnames=("negatives", "batch_size", "total_steps"),
     donate_argnums=(0, 1),
 )
-def epoch_hoisted(
-    emb_in, emb_out, centers, contexts, neg_cdf, key, lr0, step0,
+def scan_hoisted(
+    emb_in, emb_out, c_all, x_all, neg_packed, key, lr0, step0,
     *, negatives, batch_size, total_steps,
 ):
-    """Negatives pre-sampled before the scan (the losing variant)."""
-    n = centers.shape[0]
-    steps = max(n // batch_size, 1)
-    kperm, kscan = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n)[: steps * batch_size]
-    c_all = jnp.take(centers, perm, axis=0).reshape(steps, batch_size)
-    x_all = jnp.take(contexts, perm, axis=0).reshape(steps, batch_size)
-    step_keys = jax.random.split(kscan, steps)
-    r = jax.vmap(
-        lambda k: jax.random.uniform(k, (batch_size, negatives))
-    )(step_keys)
-    neg_all = jnp.searchsorted(neg_cdf, r)           # [S, B, N]
+    """Negatives pre-sampled for the whole chunk before the scan."""
+    steps = c_all.shape[0]
+    step_keys = jax.random.split(key, steps)
+    neg_all = jax.vmap(
+        lambda k: _alias_draw(neg_packed, k, (batch_size, negatives))
+    )(step_keys)                                     # [S, B, N]
 
     def body(carry, x):
         ei, eo, t = carry
@@ -73,13 +72,17 @@ def main() -> None:
     print("backend:", jax.devices()[0].platform, flush=True)
     rng = np.random.default_rng(0)
     n = BATCH * STEPS
-    centers = jnp.asarray(rng.integers(0, VOCAB, n).astype(np.int32))
-    contexts = jnp.asarray(rng.integers(0, VOCAB, n).astype(np.int32))
-    p = (rng.random(VOCAB).astype(np.float32) + 0.1) ** 0.75
-    neg_cdf = jnp.asarray(np.cumsum(p / p.sum()).astype(np.float32))
+    c_all = jnp.asarray(
+        rng.integers(0, VOCAB, (STEPS, BATCH)).astype(np.int32)
+    )
+    x_all = jnp.asarray(
+        rng.integers(0, VOCAB, (STEPS, BATCH)).astype(np.int32)
+    )
+    p = (rng.random(VOCAB).astype(np.float64) + 0.1) ** 0.75
+    neg_packed = pack_alias(*build_alias_table(p))
     kw = dict(negatives=NEG, batch_size=BATCH, total_steps=10 * STEPS)
 
-    fns = {"inscan": _sgns_epoch, "hoisted": epoch_hoisted}
+    fns = {"inscan": _sgns_scan, "hoisted": scan_hoisted}
     state = {
         name: (
             jax.random.uniform(jax.random.PRNGKey(1), (VOCAB, DIM)) - 0.5,
@@ -89,7 +92,7 @@ def main() -> None:
     }
     # compile
     for name, fn in fns.items():
-        ei, eo = fn(*state[name], centers, contexts, neg_cdf,
+        ei, eo = fn(*state[name], c_all, x_all, neg_packed,
                     jax.random.PRNGKey(0), 0.025, 0.0, **kw)
         hard_sync(ei)
         state[name] = (ei, eo)
@@ -98,7 +101,7 @@ def main() -> None:
         for name, fn in fns.items():
             ei, eo = state[name]
             t0 = time.perf_counter()
-            ei, eo = fn(ei, eo, centers, contexts, neg_cdf,
+            ei, eo = fn(ei, eo, c_all, x_all, neg_packed,
                         jax.random.PRNGKey(i + 1), 0.025, 0.0, **kw)
             hard_sync(ei)
             best[name] = min(best[name], time.perf_counter() - t0)

@@ -70,6 +70,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=65536)
     ap.add_argument("--skip-deepwalk", action="store_true")
+    ap.add_argument("--skip-item2vec", action="store_true")
+    ap.add_argument(
+        "--walks", type=int, default=20000,
+        help="DeepWalk sample_count. 20000 is reference parity "
+        "(Embedding.scala:305) but statistically underpowered at a "
+        "27k-item catalog (~7 walk tokens per item); scale it to show "
+        "the on-device walker's throughput and quality at coverage.",
+    )
     ap.add_argument("--json-out", default="/tmp/emb_scale.json")
     args = ap.parse_args()
 
@@ -102,31 +110,32 @@ def main() -> None:
           f"positives in {out['seq_s']}s", flush=True)
 
     cfg = Item2VecConfig(epochs=args.epochs, batch_size=args.batch_size)
-    t0 = time.perf_counter()
-    centers, contexts, vocab_ids, counts = skipgram_pairs(seqs, cfg.window)
-    out["pairs_s"] = round(time.perf_counter() - t0, 1)
-    out["n_pairs"] = int(len(centers))
-    out["vocab"] = int(len(vocab_ids))
-    print(f"pairs: {out['n_pairs']} over vocab {out['vocab']} in "
-          f"{out['pairs_s']}s", flush=True)
-
-    t0 = time.perf_counter()
-    emb = train_sgns(centers, contexts, len(vocab_ids), counts, cfg,
-                     verbose=True)
-    hard_sync(emb)
-    out["sgns_s"] = round(time.perf_counter() - t0, 1)
-    out["sgns_pairs_per_sec"] = round(
-        args.epochs * out["n_pairs"] / out["sgns_s"], 0
-    )
-    print(f"SGNS: {args.epochs} epochs in {out['sgns_s']}s = "
-          f"{out['sgns_pairs_per_sec']/1e6:.2f}M pairs/s", flush=True)
-
     vf = planted_item_latents(spec)
-    out["item2vec_quality"] = neighbor_quality(vocab_ids, emb, vf)
-    out["item2vec_total_s"] = round(
-        out["seq_s"] + out["pairs_s"] + out["sgns_s"], 1
-    )
-    print("item2vec quality:", out["item2vec_quality"], flush=True)
+    if not args.skip_item2vec:
+        t0 = time.perf_counter()
+        centers, contexts, vocab_ids, counts = skipgram_pairs(seqs, cfg.window)
+        out["pairs_s"] = round(time.perf_counter() - t0, 1)
+        out["n_pairs"] = int(len(centers))
+        out["vocab"] = int(len(vocab_ids))
+        print(f"pairs: {out['n_pairs']} over vocab {out['vocab']} in "
+              f"{out['pairs_s']}s", flush=True)
+
+        t0 = time.perf_counter()
+        emb = train_sgns(centers, contexts, len(vocab_ids), counts, cfg,
+                         verbose=True)
+        hard_sync(emb)
+        out["sgns_s"] = round(time.perf_counter() - t0, 1)
+        out["sgns_pairs_per_sec"] = round(
+            args.epochs * out["n_pairs"] / out["sgns_s"], 0
+        )
+        print(f"SGNS: {args.epochs} epochs in {out['sgns_s']}s = "
+              f"{out['sgns_pairs_per_sec']/1e6:.2f}M pairs/s", flush=True)
+
+        out["item2vec_quality"] = neighbor_quality(vocab_ids, emb, vf)
+        out["item2vec_total_s"] = round(
+            out["seq_s"] + out["pairs_s"] + out["sgns_s"], 1
+        )
+        print("item2vec quality:", out["item2vec_quality"], flush=True)
 
     # ---- DeepWalk ------------------------------------------------------
     if not args.skip_deepwalk:
@@ -134,7 +143,8 @@ def main() -> None:
         csr = transition_csr(seqs)
         out["csr_s"] = round(time.perf_counter() - t0, 1)
         out["n_edges"] = int(len(csr.dst))
-        dw = DeepWalkConfig(item2vec=cfg)
+        out["walks"] = args.walks
+        dw = DeepWalkConfig(sample_count=args.walks, item2vec=cfg)
         t0 = time.perf_counter()
         walks = random_walks_csr(csr, dw)
         out["walks_s"] = round(time.perf_counter() - t0, 1)

@@ -140,6 +140,38 @@ class RecForYouProcess:
             self._batcher = MicroBatcher(
                 _score_batch, max_batch=64, max_wait_ms=batch_wait_ms
             )
+        # Model-path micro-batchers (one per named scorer), created lazily:
+        # k concurrent full-feature ranked requests share the fixed top-800
+        # candidate list, so they stack into ONE [k*800] model dispatch
+        # (ModelScorer.score_many) — per-request dispatch measured 13.4
+        # req/s on the remote-attached TPU (one ~75 ms tunnel round trip
+        # each, serialized by the device lock).
+        self._micro_batch = micro_batch
+        self._model_batch_wait_ms = batch_wait_ms
+        self._model_batchers: dict = {}
+
+    #: Wave size for the model-path batcher: 8 requests x 800 candidates
+    #: pads to one compiled [8192]-row scoring shape.
+    MODEL_BATCH = 8
+
+    def _model_batcher(self, name: str):
+        if name not in self._model_batchers:
+            from sparrowrecsys_tpu.serving.batcher import MicroBatcher
+
+            cands, _ = self._candidate_set()
+            cand_ids = [c.movie_id for c in cands]
+            scorer = self.scorers[name]
+
+            def _score_users(uids: np.ndarray) -> np.ndarray:  # [k, 1]
+                return scorer.score_many(
+                    [int(u) for u in uids[:, 0]], cand_ids
+                )
+
+            self._model_batchers[name] = MicroBatcher(
+                _score_users, max_batch=self.MODEL_BATCH,
+                max_wait_ms=self._model_batch_wait_ms,
+            )
+        return self._model_batchers[name]
 
     def _candidate_set(self):
         import numpy as np
@@ -169,9 +201,15 @@ class RecForYouProcess:
 
     def ranker(self, user: User, candidates: List[Movie], model: str) -> List[Movie]:
         if model in self.scorers:  # full-feature zoo scorer (?model=deepfm ...)
-            scores = self.scorers[model].score(
-                user.user_id, [c.movie_id for c in candidates]
-            )
+            cached, _ = self._candidate_set()
+            if self._micro_batch and candidates is cached:
+                scores = self._model_batcher(model).submit(
+                    np.array([user.user_id], np.int64)
+                )
+            else:
+                scores = self.scorers[model].score(
+                    user.user_id, [c.movie_id for c in candidates]
+                )
             order = np.argsort(-scores, kind="stable")
             return [candidates[i] for i in order]
         if model == "emb":

@@ -183,6 +183,46 @@ class ModelScorer:
             feats = {k: jnp.asarray(v) for k, v in host_feats.items()}
             return np.asarray(self._score(self.params, feats))[:n]
 
+    def score_many(
+        self, user_ids: Sequence[int], movie_ids: Sequence[int]
+    ) -> np.ndarray:
+        """Score the SAME candidate list for k users in ONE device dispatch
+        — returns [k, n]. This is the model-path analogue of the emb
+        path's micro-batched cosine: on remote-attached TPU each dispatch
+        is a ~36 ms tunnel round-trip (BASELINE.md wave-ceiling section),
+        so per-request score() serializes at ~13 req/s while a k-wave
+        amortizes the round-trip k ways. Row equality with per-user
+        score() is tested."""
+        import jax.numpy as jnp
+
+        n = len(movie_ids)
+        k = len(user_ids)
+        total = k * n
+        pad = self.batch_pad
+        while pad < total:
+            pad *= 2
+        mids = np.asarray(movie_ids, np.int32)
+        if self.assembler is not None:
+            reals = [
+                self.assembler.features(int(u), mids, self.extra_int_cols)
+                for u in user_ids
+            ]
+            host_feats = {}
+            for key, v0 in reals[0].items():
+                col = np.zeros(pad, v0.dtype)
+                col[:total] = np.concatenate([r[key] for r in reals])
+                host_feats[key] = col
+        else:
+            mcol = np.zeros(pad, np.int32)
+            mcol[:total] = np.tile(mids, k)
+            ucol = np.zeros(pad, np.int32)
+            ucol[:total] = np.repeat(np.asarray(user_ids, np.int32), n)
+            host_feats = {"movieId": mcol, "userId": ucol}
+        with _DEVICE_LOCK:
+            feats = {kk: jnp.asarray(v) for kk, v in host_feats.items()}
+            flat = np.asarray(self._score(self.params, feats))[:total]
+        return flat.reshape(k, n)
+
 
 class RestScorer:
     """TF-Serving-protocol REST client — optional sidecar-mode parity with

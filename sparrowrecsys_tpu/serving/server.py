@@ -109,6 +109,16 @@ class RecSysServer:
                 self.rec_for_you.scorer.score(1, movie_ids)
             for s in self.rec_for_you.scorers.values():
                 s.score(1, movie_ids)
+        # Compile the model-path wave shape ([MODEL_BATCH x 800] rows) so
+        # the first batched ranked request doesn't pay it.
+        if self.rec_for_you._micro_batch and self.rec_for_you.scorers:
+            cands, _ = self.rec_for_you._candidate_set()
+            cand_ids = [c.movie_id for c in cands]
+            if cand_ids:
+                for s in self.rec_for_you.scorers.values():
+                    s.score_many(
+                        [1] * self.rec_for_you.MODEL_BATCH, cand_ids
+                    )
 
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:

@@ -226,3 +226,55 @@ def test_movie_block_cache_and_invalidation(sample_world):
     for k in fresh:
         np.testing.assert_array_equal(fresh[k], again[k])
     assert set(a1) == set(fresh)
+
+
+def test_score_many_matches_per_user_score(sample_world):
+    table, store, _ = sample_world
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+    asm = FeatureAssembler(store)
+    model = build_model("deepfm")
+    params = model.init(jax.random.PRNGKey(0), asm.example_features(2))["params"]
+    scorer = ModelScorer(model, params, batch_pad=64, assembler=asm)
+
+    uids = [int(u) for u in np.unique(np.asarray(table["userId"]))[:3]]
+    mids = [int(m) for m in np.unique(np.asarray(table["movieId"]))[:10]]
+    many = scorer.score_many(uids, mids)
+    assert many.shape == (3, 10)
+    for i, uid in enumerate(uids):
+        np.testing.assert_allclose(
+            many[i], scorer.score(uid, mids), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_ranker_micro_batched_model_path_matches_direct(sample_world):
+    table, store, _ = sample_world
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.serving.catalog import DataManager
+    from sparrowrecsys_tpu.serving.processes import RecForYouProcess
+    from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+    dm = DataManager().load_data(
+        f"{DATA}/movies.csv", None, f"{DATA}/ratings.csv",
+        f"{DATA}/modeldata/item2vecEmb.csv", f"{DATA}/modeldata/userEmb.csv",
+    )
+    asm = FeatureAssembler(store, dm)
+    model = build_model("deepfm")
+    params = model.init(jax.random.PRNGKey(0), asm.example_features(2))["params"]
+    scorer = ModelScorer(model, params, batch_pad=64, assembler=asm)
+
+    direct = RecForYouProcess(dm, scorers={"deepfm": scorer})
+    batched = RecForYouProcess(
+        dm, scorers={"deepfm": scorer}, micro_batch=True, batch_wait_ms=0.0
+    )
+    uid = int(np.asarray(table["userId"])[0])
+    a = [m.movie_id for m in direct.get_rec_list(uid, 8, "deepfm")]
+    b = [m.movie_id for m in batched.get_rec_list(uid, 8, "deepfm")]
+    assert a == b
+    # the batched path really went through the model batcher
+    assert batched._model_batchers["deepfm"].n_waves >= 1

@@ -163,9 +163,14 @@ class RecForYouProcess:
             scorer = self.scorers[name]
 
             def _score_users(uids: np.ndarray) -> np.ndarray:  # [k, 1]
-                return scorer.score_many(
-                    [int(u) for u in uids[:, 0]], cand_ids
-                )
+                users = [int(u) for u in uids[:, 0]]
+                if scorer.assembler is not None:
+                    # Candidate-side features live on device; the wave
+                    # uploads only [k, ~16] user values (score_wave).
+                    if scorer._wave is None:
+                        scorer.prepare_wave(cand_ids, self.MODEL_BATCH)
+                    return scorer.score_wave(users)
+                return scorer.score_many(users, cand_ids)
 
             self._model_batchers[name] = MicroBatcher(
                 _score_users, max_batch=self.MODEL_BATCH,

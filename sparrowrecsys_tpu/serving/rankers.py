@@ -126,6 +126,9 @@ class ModelScorer:
         #: documents but never wires. None = id-only (NeuralCF) parity.
         self.assembler = assembler
         self.extra_int_cols = tuple(extra_int_cols)
+        # prepare_wave() state: device-resident candidate-side feature
+        # columns + the compiled wave fn (see score_wave).
+        self._wave = None
 
         @jax.jit
         def _score(params, feats):
@@ -222,6 +225,100 @@ class ModelScorer:
             feats = {kk: jnp.asarray(v) for kk, v in host_feats.items()}
             flat = np.asarray(self._score(self.params, feats))[:total]
         return flat.reshape(k, n)
+
+    def prepare_wave(self, movie_ids: Sequence[int], k: int) -> None:
+        """Pin the candidate-side feature columns ON DEVICE for [k x n]
+        waves over a fixed candidate list.
+
+        score_many uploads every feature column per wave — 27 columns x
+        padded rows (~900 KB), which is the dominant tunnel payload on
+        remote-attached TPU (BASELINE.md rank-load section). The candidate
+        side (movieId + genres + numerics + DIEN's zero negatives) is
+        CONSTANT per candidate list, so it lives on device; each wave
+        uploads only the [k, ~16]-value user rows and broadcasts them on
+        device. Invalidation rides the assembler's movie_block cache: the
+        wave is rebuilt when the block's array identity changes (store
+        write / add_rating)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sparrowrecsys_tpu.serving.assembler import (
+            MOVIE_FLOAT_COLS, MOVIE_GENRE_COLS,
+            USER_FLOAT_COLS, USER_GENRE_COLS, USER_INT_COLS,
+        )
+
+        asm = self.assembler
+        if asm is None:
+            raise ValueError("prepare_wave needs an assembler-backed scorer")
+        mids = np.asarray([int(m) for m in movie_ids], np.int32)
+        mg, mf = asm.movie_block(mids)
+        n = len(mids)
+        total = k * n
+        pad = self.batch_pad
+        while pad < total:
+            pad *= 2
+
+        def tile_pad(col: np.ndarray) -> np.ndarray:
+            out = np.zeros(pad, col.dtype)
+            out[:total] = np.tile(col, k)
+            return out
+
+        resident = {"movieId": jnp.asarray(tile_pad(mids))}
+        for j, c in enumerate(MOVIE_GENRE_COLS):
+            resident[c] = jnp.asarray(tile_pad(np.ascontiguousarray(mg[:, j])))
+        for j, c in enumerate(MOVIE_FLOAT_COLS):
+            resident[c] = jnp.asarray(tile_pad(np.ascontiguousarray(mf[:, j])))
+        for c in self.extra_int_cols:
+            resident[c] = jnp.zeros(pad, jnp.int32)
+
+        user_int_cols = ("userId",) + USER_INT_COLS + USER_GENRE_COLS
+        user_flt_cols = USER_FLOAT_COLS
+        model = self.model
+
+        @jax.jit
+        def _wave(params, ui, uf):  # ui [k, Ui] int32, uf [k, Uf] f32
+            feats = dict(resident)
+            tail = pad - total
+            for j, c in enumerate(user_int_cols):
+                col = jnp.repeat(ui[:, j], n, total_repeat_length=total)
+                feats[c] = jnp.pad(col, (0, tail)) if tail else col
+            for j, c in enumerate(user_flt_cols):
+                col = jnp.repeat(uf[:, j], n, total_repeat_length=total)
+                feats[c] = jnp.pad(col, (0, tail)) if tail else col
+            out = model.apply({"params": params}, feats)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jax.nn.sigmoid(logits)
+
+        self._wave = {
+            "fn": _wave, "mids": mids, "k": k, "n": n, "total": total,
+            "src_mg": mg,  # identity witness for staleness (movie_block
+            "user_int_cols": user_int_cols,  # returns cached array objects)
+            "user_flt_cols": user_flt_cols,
+        }
+
+    def score_wave(self, user_ids: Sequence[int]) -> np.ndarray:
+        """[k, n] scores over the prepared candidate list — uploads only
+        the user rows. Rebuilds the resident block if the assembler's
+        movie_block has been invalidated since prepare_wave."""
+        w = self._wave
+        if w is None or len(user_ids) != w["k"]:
+            raise ValueError("call prepare_wave(movie_ids, k) first")
+        mg, _ = self.assembler.movie_block(w["mids"])
+        if mg is not w["src_mg"]:
+            self.prepare_wave(w["mids"], w["k"])  # stale: rebuild resident
+            w = self._wave
+        rows = [self.assembler.user_row(int(u)) for u in user_ids]
+        ui = np.asarray(
+            [[int(u)] + [int(r[c]) for c in w["user_int_cols"][1:]]
+             for u, r in zip(user_ids, rows)], np.int32,
+        )
+        uf = np.asarray(
+            [[float(r[c]) for c in w["user_flt_cols"]] for r in rows],
+            np.float32,
+        )
+        with _DEVICE_LOCK:
+            flat = np.asarray(w["fn"](self.params, ui, uf))[: w["total"]]
+        return flat.reshape(w["k"], w["n"])
 
 
 class RestScorer:

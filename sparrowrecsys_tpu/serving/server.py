@@ -115,10 +115,13 @@ class RecSysServer:
             cands, _ = self.rec_for_you._candidate_set()
             cand_ids = [c.movie_id for c in cands]
             if cand_ids:
+                k = self.rec_for_you.MODEL_BATCH
                 for s in self.rec_for_you.scorers.values():
-                    s.score_many(
-                        [1] * self.rec_for_you.MODEL_BATCH, cand_ids
-                    )
+                    if s.assembler is not None:
+                        s.prepare_wave(cand_ids, k)
+                        s.score_wave([1] * k)
+                    else:
+                        s.score_many([1] * k, cand_ids)
 
     # ---- endpoint handlers ----------------------------------------------
     def handle(self, path: str, q) -> tuple:

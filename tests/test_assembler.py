@@ -278,3 +278,33 @@ def test_ranker_micro_batched_model_path_matches_direct(sample_world):
     assert a == b
     # the batched path really went through the model batcher
     assert batched._model_batchers["deepfm"].n_waves >= 1
+
+
+def test_score_wave_matches_score_many_and_invalidates(sample_world):
+    table, store, _ = sample_world
+    import jax
+
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.serving.rankers import ModelScorer
+
+    asm = FeatureAssembler(store)
+    model = build_model("deepfm")
+    params = model.init(jax.random.PRNGKey(0), asm.example_features(2))["params"]
+    scorer = ModelScorer(model, params, batch_pad=64, assembler=asm)
+
+    uids = [int(u) for u in np.unique(np.asarray(table["userId"]))[:4]]
+    mids = [int(m) for m in np.unique(np.asarray(table["movieId"]))[:10]]
+    scorer.prepare_wave(mids, k=4)
+    wave = scorer.score_wave(uids)
+    many = scorer.score_many(uids, mids)
+    np.testing.assert_allclose(wave, many, rtol=1e-5, atol=1e-6)
+
+    # A store write to a candidate's mf: hash must flow into the NEXT wave
+    # (resident block rebuilt), keeping wave == fresh score_many. Distinct
+    # movie/value from the module's earlier cache test (shared store).
+    store.hset(f"mf:{mids[3]}", {"movieAvgRating": "7.77",
+                                 "movieGenre1": "Horror"})
+    wave2 = scorer.score_wave(uids)
+    many2 = scorer.score_many(uids, mids)
+    np.testing.assert_allclose(wave2, many2, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(wave2, wave)  # the write actually changed scores

@@ -168,6 +168,12 @@ class ServingConfig:
     #: only worth it when per-dispatch overhead dominates (remote-attached
     #: TPU; see BASELINE.md serving wave-ceiling section).
     batch_wait_ms: float = 0.0
+    #: model-path wave size: concurrent full-feature ranked requests per
+    #: device dispatch (k x 800 candidate rows -> one compiled shape).
+    #: 8 is the CPU sweet spot; on remote-attached TPU larger waves
+    #: amortize the ~36 ms dispatch round-trip further (measured sweep in
+    #: BASELINE.md rank-load section).
+    model_batch: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,6 +99,7 @@ class RecForYouProcess:
         micro_batch: bool = False,
         batch_wait_ms: float = 2.0,
         scorers: Optional[dict] = None,
+        model_batch: Optional[int] = None,
     ):
         self.dm = dm
         self.scorer = scorer  # the TF-Serving-equivalent CTR scorer
@@ -149,9 +150,12 @@ class RecForYouProcess:
         self._micro_batch = micro_batch
         self._model_batch_wait_ms = batch_wait_ms
         self._model_batchers: dict = {}
+        if model_batch is not None:
+            self.MODEL_BATCH = int(model_batch)
 
     #: Wave size for the model-path batcher: 8 requests x 800 candidates
-    #: pads to one compiled [8192]-row scoring shape.
+    #: pads to one compiled [8192]-row scoring shape (class default;
+    #: overridden per-instance by ServingConfig.model_batch).
     MODEL_BATCH = 8
 
     def _model_batcher(self, name: str):

@@ -61,6 +61,7 @@ class RecSysServer:
         self.rec_for_you = RecForYouProcess(
             dm, scorer, micro_batch=True,
             batch_wait_ms=self.config.batch_wait_ms, scorers=scorers,
+            model_batch=self.config.model_batch,
         )
         self.ab_test = ab_test
         self.webroot = webroot or self.config.webroot or os.path.join(
@@ -233,6 +234,11 @@ def main() -> None:
         "the full-feature assembler; default <data-root>/feature_store.json",
     )
     ap.add_argument(
+        "--model-batch", type=int, default=None,
+        help="model-path wave size (ServingConfig.model_batch); larger "
+        "waves amortize per-dispatch overhead on remote-attached TPU",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="pin the JAX backend to CPU (env JAX_PLATFORMS is overridden "
         "by sitecustomize in this environment; the config update is the "
@@ -247,6 +253,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    serving_cfg = ServingConfig()
+    if args.model_batch:
+        serving_cfg = ServingConfig(model_batch=args.model_batch)
     dm = DataManager().load_data(
         data.path(data.movies_csv),
         data.path(data.links_csv) if os.path.exists(data.path(data.links_csv)) else None,
@@ -285,7 +294,9 @@ def main() -> None:
                 assembler=assembler, extra_int_cols=extra,
             )
         }
-    server = RecSysServer(dm, scorer=scorer, ab_test=args.ab_test, scorers=scorers)
+    server = RecSysServer(
+        dm, serving_cfg, scorer=scorer, ab_test=args.ab_test, scorers=scorers
+    )
     server.start(block=False)  # bind first so the printed port is the real one
     print(
         f"Sparrow RecSys (TPU) binding http://localhost:{server.port}/ "

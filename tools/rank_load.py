@@ -66,13 +66,16 @@ print("exported", save(res.params, {model_dir!r},
     return model_dir
 
 
-def start_server(model_name: str, model_dir: str, backend: str):
+def start_server(model_name: str, model_dir: str, backend: str,
+                 model_batch: int = 0):
     env = dict(os.environ, PORT="0")
     cmd = [
         sys.executable, "-m", "sparrowrecsys_tpu.serving.server",
         "--data-root", os.path.join(REPO, "data"),
         "--rank-model", model_name, "--rank-model-dir", model_dir,
     ]
+    if model_batch:
+        cmd += ["--model-batch", str(model_batch)]
     if backend == "cpu":
         cmd.append("--cpu")
     proc = subprocess.Popen(
@@ -167,6 +170,8 @@ def main() -> None:
     ap.add_argument("--train-epochs", type=int, default=3)
     ap.add_argument("--train-batch", type=int, default=512)
     ap.add_argument("--skip-profile", action="store_true")
+    ap.add_argument("--model-batch", type=int, default=0,
+                    help="override the model-path wave size")
     args = ap.parse_args()
 
     import urllib.request
@@ -193,7 +198,9 @@ def main() -> None:
             model_dir = ensure_checkpoint(
                 model_name, args.train_epochs, args.train_batch
             )
-        proc, port = start_server(model_name, model_dir, args.backend)
+        proc, port = start_server(
+            model_name, model_dir, args.backend, args.model_batch
+        )
         try:
             base = f"http://127.0.0.1:{port}"
             for uid in uids[:3]:  # warm every compiled shape
@@ -213,6 +220,8 @@ def main() -> None:
             "metric": f"serving_recforyou_{model_name}_requests_per_sec",
             "backend": args.backend, **res,
         }
+        if args.model_batch:
+            row["model_batch"] = args.model_batch
         if not args.skip_profile and args.backend == "cpu":
             row["profile"] = microprofile(model_name, model_dir)
         rows.append(row)

@@ -132,7 +132,17 @@ class RecSysServer:
         reg = get_registry()
         reg.incr(f"http.requests{path}" if path.startswith("/get") else "http.static")
         if path == "/metrics":
-            return self._json(reg.snapshot())
+            snap = reg.snapshot()
+            # Live dispatch-amortization stats (BASELINE.md wave sections):
+            # the emb-path cosine batcher + each model-path batcher.
+            batchers = {}
+            if self.rec_for_you._batcher is not None:
+                batchers["emb"] = self.rec_for_you._batcher.stats()
+            for name, b in self.rec_for_you._model_batchers.items():
+                batchers[name] = b.stats()
+            if batchers:
+                snap["batchers"] = batchers
+            return self._json(snap)
         try:
             if path == "/getmovie":
                 m = self.dm.get_movie_by_id(int(q("id")))

@@ -419,3 +419,32 @@ def test_static_percent_encoded_paths(dm, tmp_path):
     finally:
         s.stop()
         os.environ.pop("PORT", None)
+
+
+def test_metrics_exposes_batcher_wave_stats(dm):
+    """/metrics carries live dispatch-amortization stats for the emb-path
+    cosine batcher (requests, waves, requests_per_wave) once ranked
+    traffic has flowed."""
+    import urllib.request
+
+    from sparrowrecsys_tpu.config import ServingConfig
+    from sparrowrecsys_tpu.serving.server import RecSysServer
+
+    os.environ["PORT"] = "0"
+    s = RecSysServer(dm, ServingConfig(port=0))
+    s.start()
+    try:
+        base = f"http://localhost:{s.port}"
+        uid = int(dm.user_emb_ids[0]) if len(dm.user_emb_ids) else 1
+        urllib.request.urlopen(
+            f"{base}/getrecforyou?id={uid}&size=4&model=emb", timeout=30
+        ).read()
+        snap = json.loads(
+            urllib.request.urlopen(f"{base}/metrics", timeout=10).read()
+        )
+    finally:
+        s.stop()
+        os.environ.pop("PORT", None)
+    emb = snap["batchers"]["emb"]
+    assert emb["waves"] >= 1 and emb["requests"] >= 1
+    assert emb["requests_per_wave"] >= 1

@@ -50,6 +50,13 @@ def main() -> None:
     # Planted-signal knobs (see synthetic.py::_sequence_ctr). compat_dim=4 /
     # gain=4 makes the rank-4 kernel learnable within a few epochs while
     # keeping the oracle ceiling ~0.93.
+    ap.add_argument("--t", type=int, default=5,
+                    help="generator history length (userRatedMovie1..t)")
+    ap.add_argument("--model-t", type=int, default=0,
+                    help="history length DIN/DIEN consume (recent_movies); "
+                    "0 = same as --t. Setting it below --t truncates the "
+                    "model's view to the most recent items — the long-"
+                    "history capability demonstration")
     ap.add_argument("--compat-dim", type=int, default=4)
     ap.add_argument("--gain", type=float, default=4.0)
     ap.add_argument("--recency", type=float, default=0.6)
@@ -87,8 +94,9 @@ def main() -> None:
     for dname in args.datasets.split(","):
         if dname == "sequence":
             full, oracle = sequence_ctr_with_oracle(
-                total, seed=7, compat_dim=args.compat_dim, gain=args.gain,
-                recency=args.recency, markov_tau=args.markov_tau,
+                total, seed=7, t=args.t, compat_dim=args.compat_dim,
+                gain=args.gain, recency=args.recency,
+                markov_tau=args.markov_tau,
             )
             train_ds, test_ds = split(full)
             o = exact_auc(1 / (1 + np.exp(-oracle[args.n:])), test_ds.labels)
@@ -101,12 +109,20 @@ def main() -> None:
             aucs = []
             for seed in range(args.seeds):
                 tr_d, te_d, loss_fn = train_ds, test_ds, None
-                model = build_model(name)
+                model_t = args.model_t or args.t
+                if name in ("din", "dien"):
+                    model = build_model(name, recent_movies=model_t)
+                else:
+                    model = build_model(name)
                 if name == "dien":
-                    tr_d = add_dien_negatives(train_ds, seed=2020 + seed)
-                    te_d = add_dien_negatives(test_ds, seed=2021 + seed)
+                    tr_d = add_dien_negatives(
+                        train_ds, seed=2020 + seed, recent_movies=model_t
+                    )
+                    te_d = add_dien_negatives(
+                        test_ds, seed=2021 + seed, recent_movies=model_t
+                    )
                     model = model.copy(
-                        aux_mode=args.dien_aux, alpha=args.dien_alpha
+                        aux_mode=args.dien_aux, alpha=args.dien_alpha,
                     )
                     loss_fn = dien_loss_fn(
                         alpha=args.dien_alpha, aux_mode=args.dien_aux
@@ -142,6 +158,7 @@ def main() -> None:
                     "batch_size": args.batch_size, "planted_seed": 7,
                     "compat_dim": args.compat_dim, "gain": args.gain,
                     "recency": args.recency, "markov_tau": args.markov_tau,
+                    "t": args.t, "model_t": args.model_t or args.t,
                 },
                 "results": results,
             },

@@ -191,12 +191,26 @@ class Trainer:
                 if v.ndim == 1 and not jnp.issubdtype(v.dtype, jnp.integer)
             ]
             other = {k: v for k, v in data.items() if v.ndim != 1}
+
+            def col_stack(cols):
+                # [N, C] column pack WITHOUT unit-dim intermediates:
+                # concat the 1-D columns -> [C*N] -> reshape [C, N] ->
+                # transpose. `jnp.stack(axis=1)` lowers each operand to an
+                # [N, 1] reshape; past ~50 columns XLA stops fusing them
+                # and materializes every [N, 1] temporary, whose unit lane
+                # dim TILE-PADS to 128 (~146 MB apiece at N=300k) —
+                # planned 8.5-71.5 GB of HBM and failed compile outright
+                # at 64-length histories (tools/t64_oom_probe.py bisect,
+                # 2026-08-19). The 1-D concat + one real transpose has no
+                # unit dims anywhere and bounded (<=2x) tile waste.
+                c = len(cols)
+                return jnp.concatenate(cols).reshape(c, -1).T
+
             xs = {
                 "f": perm(
-                    jnp.stack(
+                    col_stack(
                         [data[k].astype(jnp.float32) for k in flt_cols]
-                        + [labels_all.astype(jnp.float32)],
-                        axis=1,
+                        + [labels_all.astype(jnp.float32)]
                     )
                 ).reshape(steps, batch_size, len(flt_cols) + 1),
                 "m": mask_flat.reshape(steps, batch_size),
@@ -207,9 +221,7 @@ class Trainer:
             }
             if int_cols:
                 xs["i"] = perm(
-                    jnp.stack(
-                        [data[k].astype(jnp.int32) for k in int_cols], axis=1
-                    )
+                    col_stack([data[k].astype(jnp.int32) for k in int_cols])
                 ).reshape(steps, batch_size, len(int_cols))
 
             if self.plan is not None:

@@ -156,3 +156,26 @@ def test_epoch_unroll_preserves_trajectory():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
             )
+
+
+def test_wide_schema_packed_epoch_matches_streamed():
+    """64-length-history datasets pack >70 scalar columns; the transpose
+    pack (no unit-dim intermediates — the t64 HBM blow-up fix, see
+    tools/t64_oom_probe.py) must stay numerically equivalent to the
+    streamed per-batch path."""
+    from sparrowrecsys_tpu.data.synthetic import synthetic_sequence_ctr_dataset
+
+    ds = synthetic_sequence_ctr_dataset(512, seed=3, t=64)
+    assert sum(v.ndim == 1 for v in ds.features.values()) >= 70
+    cfg = TrainConfig(batch_size=128, epochs=1, seed=0,
+                      shuffle_each_epoch=False)
+    model = build_model("din", recent_movies=64)
+    res1 = Trainer(model, cfg).fit(ds, verbose=False)
+    t2 = Trainer(model, cfg)
+    t2.device_resident_bytes = 0  # force the streamed path
+    res2 = t2.fit(ds, verbose=False)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res1.params),
+        jax.tree_util.tree_leaves(res2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -32,6 +32,36 @@ from sparrowrecsys_tpu.serving.catalog import DataManager
 from sparrowrecsys_tpu.serving.http import AsyncHTTPServer
 from sparrowrecsys_tpu.serving.processes import RecForYouProcess, SimilarMovieProcess
 
+
+def _poster_svg(movie) -> bytes:
+    """Deterministic 180x260 poster: hue from the id, title + year + first
+    genre. Stands in for the reference's binary poster assets (SURVEY.md
+    §2.5; no network egress to fetch the real ones)."""
+    from xml.sax.saxutils import escape
+
+    hue = (movie.movie_id * 47) % 360
+    hue2 = (hue + 40) % 360
+    title = escape(movie.title or "?")
+    genre = escape(movie.genres[0] if movie.genres else "")
+    year = movie.release_year or ""
+    words = (movie.title or "?").split()
+    initials = escape("".join(w[0] for w in words[:2]).upper())
+    svg = f"""<svg xmlns="http://www.w3.org/2000/svg" width="180" height="260">
+<defs><linearGradient id="g" x1="0" y1="0" x2="1" y2="1">
+<stop offset="0" stop-color="hsl({hue},45%,35%)"/>
+<stop offset="1" stop-color="hsl({hue2},50%,22%)"/>
+</linearGradient></defs>
+<rect width="180" height="260" fill="url(#g)"/>
+<text x="90" y="118" font-family="Helvetica,Arial" font-size="64"
+ fill="rgba(255,255,255,0.85)" text-anchor="middle">{initials}</text>
+<text x="90" y="210" font-family="Helvetica,Arial" font-size="13"
+ fill="#fff" text-anchor="middle">{title[:24]}</text>
+<text x="90" y="230" font-family="Helvetica,Arial" font-size="11"
+ fill="rgba(255,255,255,0.7)" text-anchor="middle">{year} {genre}</text>
+</svg>"""
+    return svg.encode()
+
+
 _CONTENT_TYPES = {
     ".html": "text/html", ".js": "application/javascript", ".css": "text/css",
     ".png": "image/png", ".jpg": "image/jpeg", ".ico": "image/x-icon",
@@ -195,6 +225,22 @@ class RecSysServer:
         path = unquote(path)  # /a%20b.jpg -> "a b.jpg" (Jetty parity)
         if path in ("", "/"):
             path = "/index.html"
+        if path.startswith("/posters/"):
+            # The reference vendors 971 poster jpgs (webroot/posters/
+            # <movieId>.jpg); this build has no binary assets (zero
+            # egress), so the same URL surface serves a deterministic
+            # SVG rendered from the catalog. A file on disk still wins
+            # (drop real jpgs in and they serve unchanged).
+            root = os.path.abspath(self.webroot)
+            full = os.path.normpath(os.path.join(root, path.lstrip("/")))
+            if os.path.commonpath([root, full]) != root or not os.path.isfile(full):
+                name = path.rsplit("/", 1)[1]
+                stem = name.split(".")[0]
+                if stem.isdigit():
+                    m = self.dm.get_movie_by_id(int(stem))
+                    if m is not None:
+                        return 200, "image/svg+xml", _poster_svg(m)
+                return 404, "text/html", b"Not Found"
         root = os.path.abspath(self.webroot)
         full = os.path.normpath(os.path.join(root, path.lstrip("/")))
         # Containment must be directory-boundary-aware: a bare startswith

@@ -21,20 +21,27 @@ async function getJSON(url) {
   return JSON.parse(text);
 }
 
-/* Poster placeholder: the reference ships 971 poster jpgs
- * (webroot/posters/<movieId>.jpg); this build has no image assets, so
- * each movie gets a deterministic color block (hue from the id) with the
- * title initials — same layout slot, graceful without binaries. */
+/* Poster: the reference's URL surface (webroot/posters/<movieId>.jpg).
+ * The server renders a deterministic SVG at that path when no binary
+ * asset exists (zero-egress build); a real jpg on disk wins. On any
+ * load error, fall back to a CSS color block with the title initials. */
 function posterBlock(movie) {
-  const hue = (movie.movieId * 47) % 360;
-  const initials = (movie.title || "?")
-    .split(/\s+/).slice(0, 2).map(w => w[0]).join("").toUpperCase();
-  const div = document.createElement("div");
-  div.className = "poster";
-  div.style.background =
-    `linear-gradient(160deg, hsl(${hue},45%,35%), hsl(${(hue + 40) % 360},50%,22%))`;
-  div.textContent = initials;
-  return div;
+  const img = document.createElement("img");
+  img.className = "poster";
+  img.alt = movie.title || "";
+  img.src = `posters/${movie.movieId}.jpg`;
+  img.onerror = () => {
+    const hue = (movie.movieId * 47) % 360;
+    const initials = (movie.title || "?")
+      .split(/\s+/).slice(0, 2).map(w => w[0]).join("").toUpperCase();
+    const div = document.createElement("div");
+    div.className = "poster";
+    div.style.background =
+      `linear-gradient(160deg, hsl(${hue},45%,35%), hsl(${(hue + 40) % 360},50%,22%))`;
+    div.textContent = initials;
+    img.replaceWith(div);
+  };
+  return img;
 }
 
 function movieCard(movie) {

@@ -448,3 +448,34 @@ def test_metrics_exposes_batcher_wave_stats(dm):
     emb = snap["batchers"]["emb"]
     assert emb["waves"] >= 1 and emb["requests"] >= 1
     assert emb["requests_per_wave"] >= 1
+
+
+def test_poster_svg_served_at_reference_jpg_path(dm):
+    """The reference vendors posters/<movieId>.jpg (SURVEY.md §2.5); the
+    rebuild serves a deterministic catalog-rendered SVG at the same URL
+    surface (binary-free), 404 for unknown ids, and a real on-disk file
+    still wins."""
+    import urllib.error
+    import urllib.request
+
+    from sparrowrecsys_tpu.config import ServingConfig
+    from sparrowrecsys_tpu.serving.server import RecSysServer
+
+    os.environ["PORT"] = "0"
+    s = RecSysServer(dm, ServingConfig(port=0))
+    s.start()
+    try:
+        base = f"http://localhost:{s.port}"
+        with urllib.request.urlopen(f"{base}/posters/1.jpg", timeout=10) as r:
+            assert r.headers["Content-Type"] == "image/svg+xml"
+            body = r.read().decode()
+        m = dm.get_movie_by_id(1)
+        assert "<svg" in body and m.title[:24] in body
+        try:
+            urllib.request.urlopen(f"{base}/posters/999999.jpg", timeout=10)
+            raise AssertionError("unknown movie id should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        s.stop()
+        os.environ.pop("PORT", None)

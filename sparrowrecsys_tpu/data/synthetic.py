@@ -170,7 +170,12 @@ def _markov_history(rng, a, b, n, t, tau, compat_dim):
     chunks — O(V) memory traffic per draw, measured 30+ CPU-minutes for
     a 2.3M x 64 walk; alias does the same walk in seconds. NOTE: the
     switch changes the RNG stream, so a given seed's dataset differs
-    from pre-2026-08-19 runs (recorded tables were regenerated)."""
+    from pre-2026-08-19 runs (recorded tables were regenerated).
+
+    Memory bound: the dense (V-1)x(V-1) prob+alias tables cost ~8*V^2
+    bytes — fine at the default 1001-item vocab (~8 MB) but ~5.8 GB at a
+    27k-item catalog. For vocabs past ~8k, build per-row tables lazily or
+    top-k-truncate the transition rows before aliasing (ADVICE r3)."""
     vocab = a.shape[0]
     logits = tau * (a[1:] @ b[1:].T) / np.sqrt(compat_dim)
     logits -= logits.max(axis=1, keepdims=True)

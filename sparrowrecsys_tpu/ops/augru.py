@@ -16,17 +16,21 @@ The unrolled Python loop over `range(5)` in the reference becomes
 `lax.scan` — one compiled step reused T times, so history length is a
 config knob, not a recompile (SURVEY.md §5).
 
-Custom VJP (round 3): `lax.scan`'s default VJP accumulates the recurrent
-weight gradients with T sequential [H, B] @ [B, ·] matmuls + carry adds
-inside the backward scan — at batch 65536 those are the dominant backward
-cost (DIEN is ~45% backward, BASELINE.md "DIEN step decomposition"). The
-hand-written VJPs below keep only the unavoidable dh-propagation matmuls
-in the backward scan, stack the per-step pre-activation cotangents, and
-compute every weight gradient OUTSIDE the scan as ONE flattened
-[T*B, H]-by-[T*B, ·] matmul. Numerics: identical per-element math; weight
-grads differ from autodiff only by f32 sum reassociation (asserted to
-rtol 1e-5 in tests/test_ops.py). Toggle with `custom_vjp=False` (the
-plain-autodiff path is the fallback, per the repo's dispatch convention).
+Custom VJP (round 3, measured a WASH — ships opt-in): the hand-written
+VJPs below keep only the unavoidable dh-propagation matmuls in the
+backward scan, stack the per-step pre-activation cotangents, and compute
+every weight gradient OUTSIDE the scan as ONE flattened
+[T*B, H]-by-[T*B, ·] matmul. The structural decomposition that motivated
+them was refuted by measurement (tools/dien_decomp2.py, v5e batch 65536):
+both recurrences together cost only 0.66 ms of DIEN's ~10 ms step (the
+aux block costs 2.09 ms), and the custom backward is a wash vs `lax.scan`
+autodiff (10.03 vs 9.70 ms/step, 0.967x, tools/dien_vjp_exp.py) — XLA
+already overlaps the in-scan dW matmuls with the dh chain. Numerics:
+identical per-element math; weight grads differ from autodiff only by f32
+sum reassociation (asserted to rtol 1e-5 in tests/test_ops.py).
+`custom_vjp` therefore defaults False everywhere (ops AND
+`DIEN.recurrence_custom_vjp`) — one default authority, plain `lax.scan`
+autodiff; the custom path stays tested for revisit at much larger H/T.
 """
 
 from __future__ import annotations
@@ -143,7 +147,7 @@ def gru(
     params: GRUParams,
     x: jnp.ndarray,
     mask: jnp.ndarray = None,
-    custom_vjp: bool = True,
+    custom_vjp: bool = False,
 ) -> jnp.ndarray:
     """x [B, T, D] -> hidden states [B, T, H] (h0 = zeros).
 
@@ -157,7 +161,8 @@ def gru(
     GRU honors the Embedding mask, DIEN.py:173-181).
 
     custom_vjp=True routes the recurrence through the hand-written backward
-    (weight grads as one stacked matmul; see module docstring).
+    (weight grads as one stacked matmul) — measured a wash vs autodiff at
+    the bench config, so False is the default; see module docstring.
     """
     h_dim = params.recurrent.shape[0]
     b = x.shape[0]
@@ -283,7 +288,7 @@ def augru(
     params: AUGRUParams,
     states: jnp.ndarray,
     attention: jnp.ndarray,
-    custom_vjp: bool = True,
+    custom_vjp: bool = False,
 ) -> jnp.ndarray:
     """states [B, T, H] (GRU hidden states), attention [B, T, H] -> [B, H].
 
@@ -292,7 +297,8 @@ def augru(
     deliberately; zeros is the conventional choice and AUC-equivalent).
 
     custom_vjp=True routes the recurrence through the hand-written backward
-    (weight grads as one stacked matmul; see module docstring).
+    (weight grads as one stacked matmul) — measured a wash vs autodiff at
+    the bench config, so False is the default; see module docstring.
     """
 
     b, t, hdim = states.shape

@@ -150,6 +150,13 @@ class RecForYouProcess:
         self._micro_batch = micro_batch
         self._model_batch_wait_ms = batch_wait_ms
         self._model_batchers: dict = {}
+        # Creation lock: two concurrent FIRST requests for the same model
+        # must not each construct a MicroBatcher (two parallel wave leaders
+        # against one scorer). Steady-state reads stay lock-free — dict
+        # reads are atomic and entries are never replaced.
+        import threading
+
+        self._model_batchers_lock = threading.Lock()
         if model_batch is not None:
             self.MODEL_BATCH = int(model_batch)
 
@@ -159,7 +166,12 @@ class RecForYouProcess:
     MODEL_BATCH = 8
 
     def _model_batcher(self, name: str):
-        if name not in self._model_batchers:
+        batcher = self._model_batchers.get(name)
+        if batcher is not None:
+            return batcher
+        with self._model_batchers_lock:
+            if name in self._model_batchers:  # lost the creation race
+                return self._model_batchers[name]
             from sparrowrecsys_tpu.serving.batcher import MicroBatcher
 
             cands, _ = self._candidate_set()
@@ -180,7 +192,7 @@ class RecForYouProcess:
                 _score_users, max_batch=self.MODEL_BATCH,
                 max_wait_ms=self._model_batch_wait_ms,
             )
-        return self._model_batchers[name]
+            return self._model_batchers[name]
 
     def _candidate_set(self):
         import numpy as np

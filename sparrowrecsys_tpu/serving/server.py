@@ -41,7 +41,9 @@ def _poster_svg(movie) -> bytes:
 
     hue = (movie.movie_id * 47) % 360
     hue2 = (hue + 40) % 360
-    title = escape(movie.title or "?")
+    # Truncate the RAW title before escaping — slicing after escape could
+    # cut an entity like '&amp;' in half and emit malformed SVG.
+    title = escape((movie.title or "?")[:24])
     genre = escape(movie.genres[0] if movie.genres else "")
     year = movie.release_year or ""
     words = (movie.title or "?").split()
@@ -55,7 +57,7 @@ def _poster_svg(movie) -> bytes:
 <text x="90" y="118" font-family="Helvetica,Arial" font-size="64"
  fill="rgba(255,255,255,0.85)" text-anchor="middle">{initials}</text>
 <text x="90" y="210" font-family="Helvetica,Arial" font-size="13"
- fill="#fff" text-anchor="middle">{title[:24]}</text>
+ fill="#fff" text-anchor="middle">{title}</text>
 <text x="90" y="230" font-family="Helvetica,Arial" font-size="11"
  fill="rgba(255,255,255,0.7)" text-anchor="middle">{year} {genre}</text>
 </svg>"""
@@ -310,8 +312,10 @@ def main() -> None:
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
     serving_cfg = ServingConfig()
-    if args.model_batch:
-        serving_cfg = ServingConfig(model_batch=args.model_batch)
+    if args.model_batch is not None:
+        import dataclasses
+
+        serving_cfg = dataclasses.replace(serving_cfg, model_batch=args.model_batch)
     dm = DataManager().load_data(
         data.path(data.movies_csv),
         data.path(data.links_csv) if os.path.exists(data.path(data.links_csv)) else None,

@@ -174,6 +174,12 @@ class ServingConfig:
     #: amortize the ~36 ms dispatch round-trip further (measured sweep in
     #: BASELINE.md rank-load section).
     model_batch: int = 8
+    #: model-version filesystem poll interval (TF Serving's
+    #: file_system_poll_wait_seconds analogue): every poll, each
+    #: checkpoint-backed scorer hot-swaps to the newest complete NNN/
+    #: version dir without a restart or dropped requests. 0 disables the
+    #: watcher (scorers then serve their load-time version forever).
+    model_poll_s: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

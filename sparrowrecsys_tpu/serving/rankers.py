@@ -118,6 +118,13 @@ class ModelScorer:
         self.model = model
         self.params = params
         self.batch_pad = batch_pad
+        #: Hot-reload state (set by from_checkpoint): the versioned dir
+        #: being watched and the currently-served version. TF Serving
+        #: parity — the reference's sidecar polls webroot/modeldata/
+        #: neuralcf/NNN and atomically serves the newest
+        #: (RecForYouProcess.java:139, export at NeuralCF.py:106-114).
+        self.model_dir: Optional[str] = None
+        self.version: Optional[int] = None
         #: Optional serving.assembler.FeatureAssembler: when set, score()
         #: assembles the FULL feature dict online (mf:/uf: store + catalog
         #: fallback + nearline real-time history) so feature-based models
@@ -154,8 +161,41 @@ class ModelScorer:
                 "userId": np.zeros(2, np.int32),
             }
         target = model.init(jax.random.PRNGKey(0), feats)["params"]
-        params, _, _ = load_latest(model_dir, target)
-        return cls(model, params, batch_pad, assembler, extra_int_cols)
+        params, version, _ = load_latest(model_dir, target)
+        scorer = cls(model, params, batch_pad, assembler, extra_int_cols)
+        scorer.model_dir = model_dir
+        scorer.version = version
+        return scorer
+
+    def reload_if_new(self) -> Optional[int]:
+        """Atomically swap in the newest COMPLETE checkpoint version if one
+        has appeared since load — the TF Serving hot-reload behavior.
+
+        Returns the new version number, or None if already current. The
+        swap is a single attribute assignment (atomic under the GIL):
+        in-flight score()/score_wave() calls finish on the params they
+        already read; the next call sees the new tree. The compiled score
+        functions take params as an ARGUMENT, so no re-jit and no dropped
+        requests. A half-written export (params.msgpack without meta.json)
+        is never picked up (checkpoint.latest_ready_version); a corrupt
+        one is skipped and retried on the next poll."""
+        if self.model_dir is None:
+            return None
+        from sparrowrecsys_tpu.training.checkpoint import (
+            latest_ready_version,
+            load_version,
+        )
+
+        v = latest_ready_version(self.model_dir)
+        if v is None or (self.version is not None and v <= self.version):
+            return None
+        try:
+            params, _ = load_version(self.model_dir, v, self.params)
+        except Exception:
+            return None  # partially written / corrupt: retry next poll
+        self.params = params
+        self.version = v
+        return v
 
     def score(self, user_id: int, movie_ids: Sequence[int]) -> np.ndarray:
         import jax.numpy as jnp
@@ -319,6 +359,63 @@ class ModelScorer:
         with _DEVICE_LOCK:
             flat = np.asarray(w["fn"](self.params, ui, uf))[: w["total"]]
         return flat.reshape(w["k"], w["n"])
+
+
+class ModelVersionWatcher:
+    """Filesystem poller that hot-reloads every registered ModelScorer —
+    the TF Serving version-policy equivalent (the reference's serving
+    stack gets this behavior from TF Serving itself, which polls the
+    `modeldata/neuralcf/NNN` dirs and atomically serves the newest;
+    `RecForYouProcess.java:139`, export at `NeuralCF.py:106-114`).
+
+    One daemon thread, `poll_s` seconds between sweeps (TF Serving's
+    `file_system_poll_wait_seconds` analogue, default 1 s). Thread-safe by
+    construction: reload_if_new swaps a single attribute; serving threads
+    never block on the poller."""
+
+    def __init__(self, scorers: dict, poll_s: float = 1.0):
+        self.scorers = dict(scorers)  # {name: ModelScorer}
+        self.poll_s = poll_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def poll_once(self) -> dict:
+        """One sweep; returns {name: new_version} for scorers that swapped."""
+        from sparrowrecsys_tpu.utils.observability import get_registry
+
+        swapped = {}
+        for name, scorer in self.scorers.items():
+            v = scorer.reload_if_new()
+            if v is not None:
+                swapped[name] = v
+                get_registry().incr(f"model.reload.{name}")
+        return swapped
+
+    def versions(self) -> dict:
+        """{name: currently-served version} for /metrics."""
+        return {
+            name: s.version
+            for name, s in self.scorers.items()
+            if s.version is not None
+        }
+
+    def start(self) -> "ModelVersionWatcher":
+        def loop():
+            while not self._stop.wait(self.poll_s):
+                try:
+                    self.poll_once()
+                except Exception:
+                    pass  # never let a poll error kill the watcher
+        self._thread = threading.Thread(
+            target=loop, daemon=True, name="model-version-watcher"
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
 
 
 class RestScorer:

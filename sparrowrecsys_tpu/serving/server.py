@@ -101,6 +101,23 @@ class RecSysServer:
         )
         self.port = int(os.environ.get("PORT", self.config.port))
         self._httpd: Optional[AsyncHTTPServer] = None
+        # Hot model-version reload (TF Serving parity): watch every
+        # checkpoint-backed scorer's versioned dir; a new NNN/ export is
+        # atomically swapped in mid-serving (serving/rankers.py
+        # ModelVersionWatcher). Current versions surface on /metrics.
+        self.watcher = None
+        watchable = {}
+        if scorer is not None and getattr(scorer, "model_dir", None):
+            watchable["neuralcf"] = scorer
+        for name, s in self.rec_for_you.scorers.items():
+            if getattr(s, "model_dir", None):
+                watchable[name] = s
+        if watchable and self.config.model_poll_s > 0:
+            from sparrowrecsys_tpu.serving.rankers import ModelVersionWatcher
+
+            self.watcher = ModelVersionWatcher(
+                watchable, poll_s=self.config.model_poll_s
+            )
 
     def warmup(self) -> None:
         """Pre-compile every jitted serving path before taking traffic —
@@ -174,6 +191,9 @@ class RecSysServer:
                 batchers[name] = b.stats()
             if batchers:
                 snap["batchers"] = batchers
+            if self.watcher is not None:
+                # Live served model versions (hot-reload visibility).
+                snap["model_versions"] = self.watcher.versions()
             return self._json(snap)
         try:
             if path == "/getmovie":
@@ -260,10 +280,14 @@ class RecSysServer:
         # even for block=True / PORT=0, then wait if asked.
         self._httpd.start(block=False)
         self.port = self._httpd.port
+        if self.watcher is not None:
+            self.watcher.start()
         if block:
             self._httpd.join()
 
     def stop(self) -> None:
+        if self.watcher is not None:
+            self.watcher.stop()
         if self._httpd:
             self._httpd.stop()
 

@@ -21,12 +21,21 @@ from sparrowrecsys_tpu.serving.rankers import ModelScorer
 
 
 class ScoringSidecar:
-    def __init__(self, scorer: ModelScorer, port: int = 8501, model_name: str = "recmodel"):
+    def __init__(self, scorer: ModelScorer, port: int = 8501,
+                 model_name: str = "recmodel", poll_s: float = 1.0):
         self.scorer = scorer
         self.port = port
         self.path = f"/v1/models/{model_name}:predict"
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # Hot version reload — the behavior the reference delegates to TF
+        # Serving itself (version-dir polling): a new NNN/ export under the
+        # scorer's model_dir is served without restarting the sidecar.
+        self.watcher = None
+        if poll_s > 0 and getattr(scorer, "model_dir", None):
+            from sparrowrecsys_tpu.serving.rankers import ModelVersionWatcher
+
+            self.watcher = ModelVersionWatcher({model_name: scorer}, poll_s=poll_s)
 
     def _make_handler(self):
         sidecar = self
@@ -87,8 +96,12 @@ class ScoringSidecar:
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self.watcher is not None:
+            self.watcher.start()
 
     def stop(self) -> None:
+        if self.watcher is not None:
+            self.watcher.stop()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -57,14 +57,25 @@ def save(
     return vdir
 
 
-def load_latest(model_dir: str, target: Any) -> Tuple[Any, int, dict]:
-    """Restore the highest version into `target`'s pytree structure.
-    Returns (params, version, meta)."""
-    versions = _versions(model_dir)
-    if not versions:
-        raise FileNotFoundError(f"no checkpoint versions under {model_dir}")
-    v = versions[-1]
-    vdir = os.path.join(model_dir, f"{v:03d}")
+def latest_ready_version(model_dir: str) -> Optional[int]:
+    """Newest version whose export is COMPLETE (meta.json present —
+    `save()` writes it last, so its existence marks the params file as
+    fully written). This is the readiness test the hot-reload watcher
+    polls with, mirroring TF Serving's filesystem version policy
+    (`RecForYouProcess.java:139` relies on it): a half-written NNN/ dir
+    must not be served."""
+    for v in reversed(_versions(model_dir)):
+        vdir = os.path.join(model_dir, f"{v:03d}")
+        if os.path.exists(os.path.join(vdir, "meta.json")) and os.path.exists(
+            os.path.join(vdir, "params.msgpack")
+        ):
+            return v
+    return None
+
+
+def load_version(model_dir: str, version: int, target: Any) -> Tuple[Any, dict]:
+    """Restore one specific numbered version into `target`'s structure."""
+    vdir = os.path.join(model_dir, f"{version:03d}")
     with open(os.path.join(vdir, "params.msgpack"), "rb") as f:
         params = flax.serialization.from_bytes(target, f.read())
     meta = {}
@@ -72,6 +83,17 @@ def load_latest(model_dir: str, target: Any) -> Tuple[Any, int, dict]:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    return params, meta
+
+
+def load_latest(model_dir: str, target: Any) -> Tuple[Any, int, dict]:
+    """Restore the highest version into `target`'s pytree structure.
+    Returns (params, version, meta)."""
+    versions = _versions(model_dir)
+    if not versions:
+        raise FileNotFoundError(f"no checkpoint versions under {model_dir}")
+    v = versions[-1]
+    params, meta = load_version(model_dir, v, target)
     return params, v, meta
 
 

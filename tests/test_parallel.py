@@ -91,9 +91,13 @@ def test_host_local_batch_single_process():
 
 def test_two_process_distributed_bringup():
     """The ONLY place `init_distributed(num_processes=2)` actually executes
-    (VERDICT r2 #10): two real OS processes on the CPU backend, Gloo
-    coordinator, one sharded DeepFM train step through `host_local_batch`,
-    replicated params asserted identical across processes. ~18 s."""
+    (VERDICT r2 #10 + r3 #6): two real OS processes on the CPU backend,
+    Gloo coordinator. Phase DP: one sharded DeepFM train step through
+    `host_local_batch`, replicated params identical across processes.
+    Phase MP: 2x2 data x model mesh, the 30,002-row user table row-sharded
+    across the process boundary, a full train-state save/resume across it
+    (bitwise vs the no-file trajectory), and parity with a single-device
+    run (max|dparam| < 1e-3). ~60 s."""
     import os
     import subprocess
     import sys as _sys
@@ -106,4 +110,7 @@ def test_two_process_distributed_bringup():
         [_sys.executable, tool], capture_output=True, text=True, timeout=300
     )
     assert out.returncode == 0, out.stdout + out.stderr
+    assert "DP BRINGUP OK" in out.stdout
+    assert "MP BRINGUP OK" in out.stdout
+    assert "resume_bitwise=True" in out.stdout
     assert "BRINGUP OK" in out.stdout

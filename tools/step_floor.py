@@ -11,7 +11,11 @@ the scanned step, not HBM or MXU. This tool makes that budget concrete:
    while-loop overhead with identical numerics. Interleaved best-of-N,
    forced sync.
 
-    python tools/step_floor.py [model ...]
+    python tools/step_floor.py [--budget-only] [model ...]
+
+--budget-only (VERDICT r3 #8) skips the unroll A/B (measured a wash on
+deepfm + dien) and prints just the compiled-HLO op budget — run it over
+all 8 zoo models for the complete single-chip floor ledger.
 """
 
 from __future__ import annotations
@@ -59,7 +63,9 @@ def hlo_budget(trainer, data, labels, n) -> dict:
 
 
 def main() -> None:
-    models = sys.argv[1:] or ["deepfm"]
+    args = [a for a in sys.argv[1:] if a != "--budget-only"]
+    budget_only = "--budget-only" in sys.argv[1:]
+    models = args or ["deepfm"]
     print("backend:", jax.devices()[0].platform, flush=True)
     n = BATCH * STEPS
     for name in models:
@@ -71,6 +77,18 @@ def main() -> None:
             for k, v in data.items()
         }
         loss_fn = dien_loss_fn() if name == "dien" else None
+
+        if budget_only:
+            tr = Trainer(
+                build_model(name), TrainConfig(batch_size=BATCH, epochs=1),
+                loss_fn=loss_fn,
+            )
+            tr._build_steps()
+            b = hlo_budget(tr, data, labels_d, n)
+            print(f"{name} HLO budget: {b['total_hlo_instructions']} "
+                  f"instructions, {b['fusions']} fusions, "
+                  f"{b['while']} while; top: {b['top']}", flush=True)
+            continue
 
         runs = {}
         for unroll in (1, 2, 4):

@@ -180,6 +180,14 @@ class ServingConfig:
     #: version dir without a restart or dropped requests. 0 disables the
     #: watcher (scorers then serve their load-time version forever).
     model_poll_s: float = 1.0
+    #: admission control: shed requests with 503 once this many handler
+    #: executions are in flight (0 = unbounded, the reference-parity
+    #: default). Under open-loop overload an unbounded queue COLLAPSES
+    #: throughput (BASELINE.md round-4 saturation: 992 -> 273 rps at 2x
+    #: capacity); a bound holds the server at capacity with bounded
+    #: latency — the role Jetty's bounded thread pool plays for the
+    #: reference.
+    max_inflight: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,18 @@ from jax import shard_map
 #: fixed cost); an [B, V<=2048] one-hot matmul rides the MXU instead.
 ONEHOT_GRAD_MAX_VOCAB = 2048
 
+#: Small-vocab tables whose embedding dim is at/above this ALSO use the
+#: one-hot matmul on the FORWARD pass: a random row gather reads a whole
+#: (8, 128) tile per index, so at wide dims the 8 genre lookups streamed
+#: ~6.4 ms/step at the MFU config (dim 128, batch 262144 —
+#: tools/mfu_probe.py), while the [B, V] one-hot rides the MXU and fuses
+#: into the consumer. Numerically EXACT (every one-hot term is exact 0.0
+#: or the row itself), so bands/checkpoints are unaffected. At the
+#: reference dim 10 the gather wins (r2 measurement: one-hot genres 13.17M
+#: vs merged-gather 15.35M ex/s) — hence the dim gate, re-measured at
+#: dim 128 in tools/mfu_probe.py before landing.
+ONEHOT_FWD_MIN_DIM = 64
+
 
 @jax.custom_vjp
 def _gather_onehot_grad(table: jnp.ndarray, safe_ids: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +86,14 @@ def embed_lookup(
     """
     v = table.shape[0]
     safe = jnp.clip(ids, 0, v - 1)
-    if v <= ONEHOT_GRAD_MAX_VOCAB:
+    if v <= ONEHOT_GRAD_MAX_VOCAB and table.shape[1] >= ONEHOT_FWD_MIN_DIM:
+        # One-hot matmul FORWARD (exact row selection on the MXU; its
+        # autodiff backward is precisely the one-hot grad matmul).
+        oh = jax.nn.one_hot(safe.reshape(-1), v, dtype=table.dtype)
+        out = jnp.dot(
+            oh, table, preferred_element_type=table.dtype
+        ).reshape(safe.shape + (table.shape[1],))
+    elif v <= ONEHOT_GRAD_MAX_VOCAB:
         out = _gather_onehot_grad(table, safe)
     else:
         out = jnp.take(table, safe, axis=0)

@@ -24,7 +24,8 @@ from urllib.parse import parse_qs, urlparse
 Response = Tuple[int, str, bytes]
 
 _STATUS = {200: "OK", 404: "Not Found", 405: "Method Not Allowed",
-           400: "Bad Request", 500: "Internal Server Error"}
+           400: "Bad Request", 500: "Internal Server Error",
+           503: "Service Unavailable"}
 
 
 class AsyncHTTPServer:
@@ -37,10 +38,22 @@ class AsyncHTTPServer:
         port: int = 0,
         host: str = "0.0.0.0",
         workers: int = 16,
+        max_inflight: int = 0,
     ):
         self.handler = handler
         self.host = host
         self.port = port
+        #: Admission control (0 = off): requests beyond this many
+        #: in-flight handler executions are shed with an immediate 503
+        #: instead of queueing without bound. The open-loop saturation
+        #: sweep (BASELINE.md round 4) showed throughput COLLAPSING past
+        #: the knee (992 -> 273 rps at 2x capacity) because every arrival
+        #: joined the executor queue; shedding keeps the server at
+        #: capacity and latency bounded under overload. The reference gets
+        #: the same property implicitly from Jetty's bounded thread pool.
+        self.max_inflight = max_inflight
+        self._inflight = 0  # touched only on the event-loop thread
+        self.shed_count = 0
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._server: Optional[asyncio.AbstractServer] = None
@@ -82,12 +95,26 @@ class AsyncHTTPServer:
                 def q(name, default=""):
                     return qs.get(name, [default])[0]
 
+                if self.max_inflight and self._inflight >= self.max_inflight:
+                    # Shed: answer 503 now, keep the connection usable.
+                    self.shed_count += 1
+                    try:
+                        await self._respond(writer, 503, "text/plain",
+                                            b"overloaded", close=close)
+                    except (ConnectionResetError, BrokenPipeError, OSError):
+                        break
+                    if close:
+                        break
+                    continue
+                self._inflight += 1
                 try:
                     status, ctype, body = await loop.run_in_executor(
                         self._pool, self.handler, parsed.path, q
                     )
                 except Exception:
                     status, ctype, body = 500, "text/plain", b""
+                finally:
+                    self._inflight -= 1
                 # The peer may vanish mid-write (load generators close all
                 # sockets at their deadline; warmup clients abandon slow
                 # first-compile requests) — a dead socket ends the

@@ -194,6 +194,8 @@ class RecSysServer:
             if self.watcher is not None:
                 # Live served model versions (hot-reload visibility).
                 snap["model_versions"] = self.watcher.versions()
+            if self._httpd is not None and self._httpd.max_inflight:
+                snap["shed_count"] = self._httpd.shed_count
             return self._json(snap)
         try:
             if path == "/getmovie":
@@ -275,7 +277,10 @@ class RecSysServer:
 
     # ---- server lifecycle ------------------------------------------------
     def start(self, block: bool = False) -> None:
-        self._httpd = AsyncHTTPServer(self.handle, port=self.port)
+        self._httpd = AsyncHTTPServer(
+            self.handle, port=self.port,
+            max_inflight=self.config.max_inflight,
+        )
         # Bind first (non-blocking) so the OS-assigned port is recorded
         # even for block=True / PORT=0, then wait if asked.
         self._httpd.start(block=False)
@@ -321,6 +326,11 @@ def main() -> None:
         "waves amortize per-dispatch overhead on remote-attached TPU",
     )
     ap.add_argument(
+        "--max-inflight", type=int, default=None,
+        help="shed requests with 503 beyond this many in-flight handler "
+        "executions (ServingConfig.max_inflight; 0 = unbounded)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="pin the JAX backend to CPU (env JAX_PLATFORMS is overridden "
         "by sitecustomize in this environment; the config update is the "
@@ -335,11 +345,13 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     data = DataConfig() if args.data_root is None else DataConfig(data_root=args.data_root)
+    import dataclasses
+
     serving_cfg = ServingConfig()
     if args.model_batch is not None:
-        import dataclasses
-
         serving_cfg = dataclasses.replace(serving_cfg, model_batch=args.model_batch)
+    if args.max_inflight is not None:
+        serving_cfg = dataclasses.replace(serving_cfg, max_inflight=args.max_inflight)
     dm = DataManager().load_data(
         data.path(data.movies_csv),
         data.path(data.links_csv) if os.path.exists(data.path(data.links_csv)) else None,

@@ -191,3 +191,46 @@ def test_client_disconnect_mid_response_is_quiet(server):
         assert body == b"echo:2"
     finally:
         s.close()
+
+
+def test_admission_control_sheds_503_beyond_max_inflight():
+    """With max_inflight=2, concurrent slow requests beyond 2 in flight
+    get an immediate 503; the connection stays usable; shed_count tracks."""
+    import time as _time
+
+    ev = threading.Event()
+
+    def slow_handler(path, q):
+        if path == "/slow":
+            ev.wait(5)
+            return 200, "text/plain", b"done"
+        return 200, "text/plain", b"ok"
+
+    srv = AsyncHTTPServer(slow_handler, port=0, workers=8, max_inflight=2)
+    srv.start()
+    try:
+        socks = [_connect(srv) for _ in range(4)]
+        for s in socks:
+            s.sendall(b"GET /slow HTTP/1.1\r\nHost: t\r\n\r\n")
+        _time.sleep(0.5)  # first two occupy the pool; rest must shed
+        # The shed responses arrive while /slow still blocks.
+        shed_heads = []
+        for s in socks[2:]:
+            head, body = _read_response(s)
+            shed_heads.append((head, body))
+        for head, body in shed_heads:
+            assert b"503" in head.split(b"\r\n")[0]
+            assert body == b"overloaded"
+        assert srv.shed_count == 2
+        ev.set()  # release the in-flight pair
+        for s in socks[:2]:
+            head, body = _read_response(s)
+            assert b"200" in head.split(b"\r\n")[0]
+            assert body == b"done"
+        # Shed connections remain keep-alive usable afterwards.
+        head, body = _request(socks[2], "/fast")
+        assert b"200" in head.split(b"\r\n")[0]
+        for s in socks:
+            s.close()
+    finally:
+        srv.stop()

@@ -424,3 +424,43 @@ class TestRecurrenceCustomVJP:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6
             )
+
+
+def test_embed_lookup_onehot_forward_exact_at_wide_dims():
+    """The wide-dim one-hot FORWARD path (ONEHOT_FWD_MIN_DIM) must be
+    bitwise-equal to a plain row gather (one-hot terms are exact 0.0 or
+    the row itself), including OOV/mask-zero semantics, and its autodiff
+    backward must match the gather's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparrowrecsys_tpu.ops import embedding as E
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(19, 128)).astype(np.float32))
+    ids = jnp.asarray(
+        np.array([0, 3, 18, -1, 7, 25], np.int32)  # incl. OOV both sides
+    )
+    assert table.shape[1] >= E.ONEHOT_FWD_MIN_DIM  # the path under test
+    out = E.embed_lookup(table, ids)
+    ref = jnp.where(
+        ((ids >= 0) & (ids < 19))[:, None],
+        jnp.take(table, jnp.clip(ids, 0, 18), axis=0),
+        0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    w = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+    g_oh = jax.grad(lambda t: jnp.sum(E.embed_lookup(t, ids) * w))(table)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(
+            jnp.where(
+                ((ids >= 0) & (ids < 19))[:, None],
+                jnp.take(t, jnp.clip(ids, 0, 18), axis=0),
+                0.0,
+            )
+            * w
+        )
+    )(table)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref), rtol=1e-6)

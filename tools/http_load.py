@@ -121,17 +121,19 @@ def open_loop_worker(url_templates, rate, seconds, out_q):
 
     async def read_response(reader):
         head = await reader.readuntil(b"\r\n\r\n")
+        status = int(head.split(b" ", 2)[1])
         body_len = 0
         for line in head.split(b"\r\n"):
             if line.lower().startswith(b"content-length:"):
                 body_len = int(line.split(b":")[1])
         if body_len:
             await reader.readexactly(body_len)
+        return status
 
     async def main():
         pool: list = []  # free (reader, writer) pairs
         lats: list = []
-        stats = {"done": 0, "errors": 0, "conns": 0}
+        stats = {"done": 0, "errors": 0, "conns": 0, "shed": 0}
 
         async def one(path, t_sched):
             try:
@@ -145,11 +147,14 @@ def open_loop_worker(url_templates, rate, seconds, out_q):
                      "Connection: keep-alive\r\n\r\n").encode()
                 )
                 await writer.drain()
-                await read_response(reader)
-                # Latency from the SCHEDULED time: server queueing delay
-                # counts (coordinated-omission-free).
-                lats.append(time.perf_counter() - t_sched)
-                stats["done"] += 1
+                status = await read_response(reader)
+                if status == 503:  # admission control shed this request
+                    stats["shed"] += 1
+                else:
+                    # Latency from the SCHEDULED time: server queueing
+                    # delay counts (coordinated-omission-free).
+                    lats.append(time.perf_counter() - t_sched)
+                    stats["done"] += 1
                 pool.append((reader, writer))
             except Exception:
                 stats["errors"] += 1
@@ -176,7 +181,7 @@ def open_loop_worker(url_templates, rate, seconds, out_q):
             except Exception:
                 pass
         out_q.put((stats["done"], stats["errors"], lats, elapsed,
-                   stats["conns"]))
+                   stats["conns"], stats["shed"]))
 
     asyncio.run(main())
 
@@ -196,14 +201,15 @@ def run_open_loop(
     ]
     for p in ps:
         p.start()
-    total = errors = conns = 0
+    total = errors = conns = shed = 0
     lats: list = []
     elapsed = 0.0
     for _ in ps:
-        n, e, l, el, c = q.get()
+        n, e, l, el, c, sh = q.get()
         total += n
         errors += e
         conns += c
+        shed += sh
         lats.extend(l)
         elapsed = max(elapsed, el)
     for p in ps:
@@ -213,6 +219,7 @@ def run_open_loop(
         "achieved_rps": round(total / max(elapsed, 1e-9), 1),
         "requests": total,
         "errors": errors,
+        "shed_503": shed,
         "connections": conns,
         "seconds": round(elapsed, 2),
     }

@@ -237,6 +237,14 @@ def main() -> None:
     ap.add_argument("--decompose", action="store_true",
                     help="run the fwd/grad/adam/sgd decomposition at the "
                     "best config after the sweep")
+    ap.add_argument("--shuffle-mode", default="exact",
+                    choices=("exact", "blocks"),
+                    help="epoch shuffle: the exact row permute costs ~8 "
+                    "ms/step at the MFU shape (tile-amplified row gather "
+                    "over the packed matrices, tools/mfu_probe.py); "
+                    "'blocks' permutes 1024-row blocks contiguously "
+                    "(landed opt-in, quality-probed in tools/"
+                    "blocks_quality.py)")
     args = ap.parse_args()
 
     print("backend:", jax.devices()[0].platform, flush=True)
@@ -256,7 +264,11 @@ def main() -> None:
                         compute_dtype=dt, user_buckets=args.user_vocab,
                         movie_buckets=args.movie_vocab,
                     )
-                    trainer = Trainer(model, TrainConfig(batch_size=batch, epochs=1))
+                    trainer = Trainer(
+                        model,
+                        TrainConfig(batch_size=batch, epochs=1,
+                                    shuffle_mode=args.shuffle_mode),
+                    )
                     trainer._build_steps()
                     secs = measure_epoch(trainer, data, labels, n, batch)
                     tflops = flops_ex * n / secs / 1e12

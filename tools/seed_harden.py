@@ -1,0 +1,108 @@
+"""Seed-harden the round-3 long-history + aux headline claims (VERDICT r3 #5).
+
+The r3 capability table rested on 1 seed for: the T=64 full-vs-truncated
+windows (DIN +0.18 AUC), the DIEN 24-epoch convergence (0.7653), and the
+DIEN aux alpha dose-response (which additionally mixed two RNG streams).
+This orchestrator re-runs everything at 3 seeds (alpha curve: one run per
+alpha, all points on ONE generator/training stream) by invoking
+tools/seq_signal.py sequentially — one TPU process at a time (CLAUDE.md) —
+and regenerates seq_signal_long.json with mean±std per row.
+
+    python tools/seed_harden.py [--out seq_signal_long.json]
+
+Protocols (identical to the r3 runs they replace):
+- t64_full / t64_truncated_to_5: 2M train / 300k test, 12 epochs,
+  recency 0.97, t=64; models deepfm,din,dien; 3 seeds.
+- t64_dien_24_epochs: same data, DIEN only, 24 epochs, 3 seeds.
+- aux_alpha_curve: T=5 sequence generator (4M train / 500k test,
+  20 epochs — the r3 seq-signal protocol), DIEN at aux none /
+  paper 0.02 / 0.1 / 0.5 / reference, seed 0 throughout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+T64 = [
+    "--n", "2000000", "--test-n", "300000", "--epochs", "12",
+    "--t", "64", "--recency", "0.97", "--datasets", "sequence",
+    "--dien-aux", "paper",
+]
+
+RUNS = [
+    ("t64_full", T64 + ["--models", "deepfm,din,dien", "--model-t", "64",
+                        "--seeds", "3"]),
+    ("t64_truncated_to_5", T64 + ["--models", "din,dien", "--model-t", "5",
+                                  "--seeds", "3"]),
+    ("t64_dien_24_epochs", [
+        "--n", "2000000", "--test-n", "300000", "--epochs", "24",
+        "--t", "64", "--model-t", "64", "--recency", "0.97",
+        "--datasets", "sequence", "--dien-aux", "paper",
+        "--models", "dien", "--seeds", "3",
+    ]),
+]
+
+ALPHAS = [
+    ("aux_none", ["--dien-aux", "none"]),
+    ("aux_paper_0.02", ["--dien-aux", "paper", "--dien-alpha", "0.02"]),
+    ("aux_paper_0.1", ["--dien-aux", "paper", "--dien-alpha", "0.1"]),
+    ("aux_paper_0.5", ["--dien-aux", "paper", "--dien-alpha", "0.5"]),
+    ("aux_reference_0.5", ["--dien-aux", "reference", "--dien-alpha", "0.5"]),
+]
+ALPHA_BASE = [
+    "--n", "4000000", "--test-n", "500000", "--epochs", "20",
+    "--datasets", "sequence", "--models", "dien", "--seeds", "1",
+]
+
+
+def run_one(args_list, tmp):
+    out = os.path.join(tmp, "run.json")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "seq_signal.py"),
+           "--json-out", out] + args_list
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=14400)
+    print(r.stdout[-2000:], flush=True)
+    if r.returncode != 0:
+        print(r.stderr[-3000:], flush=True)
+        raise RuntimeError(f"run failed: {args_list}")
+    with open(out) as f:
+        blob = json.load(f)
+    blob["wall_s"] = round(time.time() - t0, 1)
+    return blob
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "seq_signal_long.json"))
+    ap.add_argument("--skip-alpha", action="store_true")
+    args = ap.parse_args()
+
+    merged = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for key, run_args in RUNS:
+            print(f"=== {key} ===", flush=True)
+            merged[key] = run_one(run_args, tmp)
+            with open(args.out, "w") as f:  # checkpoint after each stage
+                json.dump(merged, f, indent=1)
+        if not args.skip_alpha:
+            curve = {}
+            for key, extra in ALPHAS:
+                print(f"=== alpha {key} ===", flush=True)
+                curve[key] = run_one(ALPHA_BASE + extra, tmp)
+                merged["aux_alpha_curve"] = curve
+                with open(args.out, "w") as f:
+                    json.dump(merged, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

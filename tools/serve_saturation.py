@@ -39,7 +39,8 @@ sys.path.insert(0, REPO)
 from tools.http_load import run_open_loop  # noqa: E402
 
 
-def start_server(backend: str, rank_model=None, model_batch: int = 0):
+def start_server(backend: str, rank_model=None, model_batch: int = 0,
+                 max_inflight: int = 0):
     env = dict(os.environ, PORT="0")
     cmd = [
         sys.executable, "-m", "sparrowrecsys_tpu.serving.server",
@@ -50,6 +51,8 @@ def start_server(backend: str, rank_model=None, model_batch: int = 0):
                 os.path.join(REPO, "data", "modeldata", rank_model)]
     if model_batch:
         cmd += ["--model-batch", str(model_batch)]
+    if max_inflight:
+        cmd += ["--max-inflight", str(max_inflight)]
     if backend == "cpu":
         cmd.append("--cpu")
     proc = subprocess.Popen(
@@ -82,11 +85,11 @@ def catalog_user_ids(limit: int = 64) -> list:
 
 
 def sweep(path: str, backend: str, rates, seconds: float, procs: int,
-          model_batch: int = 0) -> list:
+          model_batch: int = 0, max_inflight: int = 0) -> list:
     import urllib.request
 
     rank_model = None if path == "emb" else path
-    proc, port = start_server(backend, rank_model, model_batch)
+    proc, port = start_server(backend, rank_model, model_batch, max_inflight)
     rows = []
     try:
         base = f"http://127.0.0.1:{port}"
@@ -104,6 +107,8 @@ def sweep(path: str, backend: str, rates, seconds: float, procs: int,
             row = {"path": path, "backend": backend, **res}
             if model_batch:
                 row["model_batch"] = model_batch
+            if max_inflight:
+                row["max_inflight"] = max_inflight
             rows.append(row)
             print(json.dumps(row), flush=True)
             time.sleep(1.0)  # let queues fully drain between points
@@ -122,6 +127,8 @@ def main() -> None:
     ap.add_argument("--procs", type=int, default=4)
     ap.add_argument("--model-batches", default="0",
                     help="model-path wave sizes to sweep (0 = config default)")
+    ap.add_argument("--max-inflight", type=int, default=0,
+                    help="admission-control bound (503 shedding; 0 = off)")
     ap.add_argument("--out", default=os.path.join(REPO, "saturation.json"))
     args = ap.parse_args()
 
@@ -134,7 +141,8 @@ def main() -> None:
         )
         for mb in batches:
             all_rows.extend(
-                sweep(path, args.backend, rates, args.seconds, args.procs, mb)
+                sweep(path, args.backend, rates, args.seconds, args.procs,
+                      mb, args.max_inflight)
             )
 
     existing = []

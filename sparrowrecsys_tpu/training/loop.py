@@ -102,6 +102,11 @@ class Trainer:
     def init_params(self, sample_feats: Dict[str, np.ndarray], seed: int = None):
         seed = self.config.seed if seed is None else seed
         feats = {k: jnp.asarray(v[:2]) for k, v in sample_feats.items()}
+        prep = getattr(self.loss_fn, "prepare_init_features", None)
+        if prep is not None:
+            # rng-wanting losses that synthesize columns in-step (DIEN's
+            # in-graph negatives) supply them for shape inference here.
+            feats = prep(feats)
         params = self.model.init(jax.random.PRNGKey(seed), feats)["params"]
         if self.plan is not None:
             params = shard_params(params, self.plan)
@@ -235,6 +240,15 @@ class Trainer:
 
                 xs = jax.tree.map(constrain, xs)
 
+            if wants_rng:
+                # Per-step PRNG keys for rng-wanting loss fns (e.g. DIEN's
+                # in-graph negative sampling): derived from the epoch key
+                # on a domain-separated stream so the shuffle permutation
+                # is untouched.
+                xs["k"] = jax.random.split(
+                    jax.random.fold_in(key, 0x6E6567), steps  # "neg"
+                )
+
             def body(carry, x):
                 p, o, m = carry
                 feats = {}
@@ -245,7 +259,9 @@ class Trainer:
                     feats[k] = x["f"][:, j]
                 labels = x["f"][:, -1]
                 feats.update(x["o"])
-                return train_step(p, o, m, feats, labels, x["m"]), None
+                return train_step(
+                    p, o, m, feats, labels, x["m"], x.get("k")
+                ), None
 
             (params, opt_state, mstate), _ = jax.lax.scan(
                 body, (params, opt_state, mstate), xs,
@@ -253,10 +269,19 @@ class Trainer:
             )
             return params, opt_state, mstate
 
-        def train_step(params, opt_state, mstate, feats, labels, mask):
+        wants_rng = bool(getattr(loss_fn, "wants_rng", False))
+
+        def train_step(params, opt_state, mstate, feats, labels, mask,
+                       step_key=None):
             if loss_fn is None:
                 (loss, (logits, loss_sum)), grads = jax.value_and_grad(
                     lambda p: _default_loss(apply_fn, p, feats, labels, mask),
+                    has_aux=True,
+                )(params)
+            elif wants_rng:
+                (loss, (logits, loss_sum)), grads = jax.value_and_grad(
+                    lambda p: loss_fn(apply_fn, p, feats, labels, mask,
+                                      step_key),
                     has_aux=True,
                 )(params)
             else:
@@ -422,11 +447,23 @@ class Trainer:
                     )
                 maybe_checkpoint(epoch + 1)
                 continue
+            wants_rng = bool(getattr(self.loss_fn, "wants_rng", False))
+            step_keys = None
+            if wants_rng:
+                step_keys = iter(
+                    jax.random.split(
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(cfg.seed + epoch), 0x6E6567
+                        ),
+                        -(-len(train) // batch_size),
+                    )
+                )
             for feats, labels, mask in self._batches(
                 train, batch_size, cfg.shuffle_each_epoch, cfg.seed + epoch
             ):
                 params, opt_state, mstate = self._train_step(
-                    params, opt_state, mstate, feats, labels, mask
+                    params, opt_state, mstate, feats, labels, mask,
+                    *((next(step_keys),) if wants_rng else ()),
                 )
                 real = int(np.sum(np.asarray(mask) > 0)) if mask is not None else batch_size
                 total_examples += real

@@ -222,3 +222,84 @@ def test_dien_aux_none_structural_skip():
     logits_ref, _ = m_ref.apply({"params": p_ref}, feats_with_neg)
     np.testing.assert_array_equal(np.asarray(logits_none), np.asarray(logits_ref))
     np.testing.assert_array_equal(np.asarray(aux_none), 0.0)
+
+
+class TestDienInGraphNegatives:
+    def test_sampler_distribution_and_determinism(self):
+        import jax
+
+        from sparrowrecsys_tpu.models.dien import sample_negatives_in_graph
+
+        feats = {
+            f"userRatedMovie{k}": jnp.asarray(
+                np.random.default_rng(k).integers(0, 1001, 4096), jnp.int32
+            )
+            for k in range(1, 6)
+        }
+        out = sample_negatives_in_graph(jax.random.PRNGKey(0), feats)
+        out2 = sample_negatives_in_graph(jax.random.PRNGKey(0), feats)
+        for k in range(2, 6):
+            neg = np.asarray(out[f"negativeUserRatedMovie{k}"])
+            pos = np.asarray(feats[f"userRatedMovie{k}"])
+            assert neg.min() >= 0 and neg.max() < 1001
+            assert not np.any(neg == pos)  # same-column positive excluded
+            np.testing.assert_array_equal(
+                neg, np.asarray(out2[f"negativeUserRatedMovie{k}"])
+            )  # deterministic per key
+
+    def test_trains_without_negative_columns_and_resamples_per_epoch(self):
+        """in_graph_negatives: the train set carries NO negative columns;
+        the loss injects them from the per-step key the Trainer threads
+        through (wants_rng protocol). Same seed -> bitwise-identical
+        params (the negative stream is part of the seeded schedule)."""
+        import jax
+
+        from sparrowrecsys_tpu.config import TrainConfig
+        from sparrowrecsys_tpu.data.negatives import add_dien_negatives
+        from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.models.dien import dien_loss_fn
+        from sparrowrecsys_tpu.training.loop import Trainer
+
+        ds = synthetic_ctr_dataset(512, seed=5)
+        assert "negativeUserRatedMovie2" not in ds.features
+        test = add_dien_negatives(synthetic_ctr_dataset(256, seed=6), seed=2021)
+        loss = dien_loss_fn(aux_mode="paper", alpha=0.1,
+                            in_graph_negatives=True)
+        assert loss.wants_rng
+
+        def run():
+            tr = Trainer(
+                build_model("dien", aux_mode="paper", alpha=0.1),
+                TrainConfig(batch_size=128, epochs=2, seed=3),
+                loss_fn=loss,
+            )
+            return tr.fit(ds, test=test, verbose=False)
+
+        r1 = run()
+        assert np.isfinite(r1.history[-1]["loss"])
+        assert 0.0 <= r1.eval_metrics["roc_auc"] <= 1.0
+        r2 = run()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(r1.params),
+            jax.tree_util.tree_leaves(r2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_nonresident_path_threads_keys_too(self):
+        from sparrowrecsys_tpu.config import TrainConfig
+        from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset
+        from sparrowrecsys_tpu.models import build_model
+        from sparrowrecsys_tpu.models.dien import dien_loss_fn
+        from sparrowrecsys_tpu.training.loop import Trainer
+
+        ds = synthetic_ctr_dataset(256, seed=5)
+        tr = Trainer(
+            build_model("dien", aux_mode="paper", alpha=0.1),
+            TrainConfig(batch_size=64, epochs=1, seed=3),
+            loss_fn=dien_loss_fn(aux_mode="paper", alpha=0.1,
+                                 in_graph_negatives=True),
+        )
+        tr.device_resident_bytes = 0  # force the streamed per-batch path
+        res = tr.fit(ds, verbose=False)
+        assert np.isfinite(res.history[-1]["loss"])

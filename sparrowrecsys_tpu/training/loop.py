@@ -74,11 +74,24 @@ class Trainer:
         config: Optional[TrainConfig] = None,
         plan: Optional[MeshPlan] = None,
         loss_fn: Optional[Callable] = None,
+        sparse_tables: Optional[Dict[str, tuple]] = None,
     ):
         self.model = model
         self.config = config or TrainConfig()
         self.plan = plan
         self.loss_fn = loss_fn
+        #: Row-sparse (lazy) Adam for big embedding tables, OPT-IN:
+        #: {param module name: (feature columns gathering from it, ...)},
+        #: e.g. {"emb_userId": ("userId",)}. Those tables leave the dense
+        #: optimizer entirely — only the step's touched rows stream
+        #: moments (training/row_optim.py; dense moment traffic measured
+        #: 5.7 ms/step on a 2^20 x 128 table, BASELINE.md round 4).
+        #: LazyAdam semantics: untouched rows' moments freeze rather than
+        #: decay — quality parity is the caller's to probe.
+        self.sparse_tables = {
+            k: tuple(v) if not isinstance(v, str) else (v,)
+            for k, v in (sparse_tables or {}).items()
+        }
         # Group-fused Adam: numerically identical to optax.adam (see
         # training/optim.py; asserted in tests), ~8% faster per step on
         # TPU by fusing the many tiny tensors' optimizer ops.
@@ -97,6 +110,33 @@ class Trainer:
         #: larger ones stream per-batch from host. ~2 GB leaves headroom on
         #: a 16 GB v5e for params/activations at these model sizes.
         self.device_resident_bytes = 2 << 30
+
+    # ------------------------------------------------------------------
+    def _dense_view(self, tree):
+        """Replace sparse-table leaves with empty placeholders so the
+        dense optimizer neither stores nor streams state for them."""
+        out = dict(tree)
+        for mod in self.sparse_tables:
+            sub = dict(out[mod])
+            sub["table"] = jnp.zeros((0,), jnp.float32)
+            out[mod] = sub
+        return out
+
+    def init_opt_state(self, params):
+        """Optimizer state: the dense transform's state, plus per-table
+        row-Adam moments when sparse_tables is configured. Use this (not
+        tx.init) whenever sparse tables may be on."""
+        if not self.sparse_tables:
+            return self.tx.init(params)
+        from sparrowrecsys_tpu.training.row_optim import init_row_adam
+
+        return {
+            "dense": self.tx.init(self._dense_view(params)),
+            "rows": {
+                mod: init_row_adam(params[mod]["table"])
+                for mod in self.sparse_tables
+            },
+        }
 
     # ------------------------------------------------------------------
     def init_params(self, sample_feats: Dict[str, np.ndarray], seed: int = None):
@@ -289,8 +329,36 @@ class Trainer:
                     lambda p: loss_fn(apply_fn, p, feats, labels, mask),
                     has_aux=True,
                 )(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            if self.sparse_tables:
+                from sparrowrecsys_tpu.training.row_optim import (
+                    row_adam_update,
+                )
+
+                cfg = self.config
+                dense_p = self._dense_view(params)
+                updates, dstate = self.tx.update(
+                    self._dense_view(grads), opt_state["dense"], dense_p
+                )
+                new_params = optax.apply_updates(dense_p, updates)
+                rows = {}
+                for mod, cols in self.sparse_tables.items():
+                    ids = jnp.concatenate(
+                        [feats[c].reshape(-1).astype(jnp.int32) for c in cols]
+                    )
+                    tbl, rows[mod] = row_adam_update(
+                        params[mod]["table"], opt_state["rows"][mod],
+                        grads[mod]["table"], ids,
+                        learning_rate=cfg.learning_rate, b1=cfg.adam_b1,
+                        b2=cfg.adam_b2, eps=cfg.adam_eps,
+                    )
+                    sub = dict(new_params[mod])
+                    sub["table"] = tbl
+                    new_params[mod] = sub
+                params = new_params
+                opt_state = {"dense": dstate, "rows": rows}
+            else:
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
             probs = jax.nn.sigmoid(logits)
             mstate = M.update_metrics(mstate, probs, labels, loss_sum, mask)
             return params, opt_state, mstate
@@ -356,7 +424,7 @@ class Trainer:
             self._build_steps()
         if params is None:
             params = self.init_params(train.features)
-        opt_state = self.tx.init(params)
+        opt_state = self.init_opt_state(params)
         start_epoch = 0
         if resume and state_dir:
             from sparrowrecsys_tpu.training import checkpoint as ckpt

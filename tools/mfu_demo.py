@@ -99,7 +99,7 @@ def measure_epoch(trainer, data, labels, n, batch) -> float:
         for k, v in data.items()
     }
     params = trainer.init_params(sample)
-    carry = (params, trainer.tx.init(params), M.init_metrics())
+    carry = (params, trainer.init_opt_state(params), M.init_metrics())
     carry = trainer._train_epoch(
         *carry, data, labels, jax.random.PRNGKey(0),
         n=n, batch_size=batch, shuffle=True,
@@ -237,6 +237,10 @@ def main() -> None:
     ap.add_argument("--decompose", action="store_true",
                     help="run the fwd/grad/adam/sgd decomposition at the "
                     "best config after the sweep")
+    ap.add_argument("--sparse-tables", action="store_true",
+                    help="row-sparse (lazy) Adam for the movieId/userId "
+                    "tables (training/row_optim.py) — dense moment "
+                    "streaming on the 2^20-row table measured 5.7 ms/step")
     ap.add_argument("--shuffle-mode", default="exact",
                     choices=("exact", "blocks"),
                     help="epoch shuffle: the exact row permute costs ~8 "
@@ -264,10 +268,16 @@ def main() -> None:
                         compute_dtype=dt, user_buckets=args.user_vocab,
                         movie_buckets=args.movie_vocab,
                     )
+                    sparse = (
+                        {"emb_userId": ("userId",),
+                         "emb_movieId": ("movieId",)}
+                        if args.sparse_tables else None
+                    )
                     trainer = Trainer(
                         model,
                         TrainConfig(batch_size=batch, epochs=1,
                                     shuffle_mode=args.shuffle_mode),
+                        sparse_tables=sparse,
                     )
                     trainer._build_steps()
                     secs = measure_epoch(trainer, data, labels, n, batch)

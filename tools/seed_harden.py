@@ -86,7 +86,12 @@ def main() -> None:
     ap.add_argument("--skip-alpha", action="store_true")
     args = ap.parse_args()
 
+    # Start from the existing file so rows this orchestrator does not
+    # re-run (the t256 stress rows) survive the regeneration.
     merged = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
     with tempfile.TemporaryDirectory() as tmp:
         for key, run_args in RUNS:
             print(f"=== {key} ===", flush=True)

@@ -80,14 +80,26 @@ def row_adam_update(
     c1 = 1.0 - b1 ** tf
     c2 = 1.0 - b2 ** tf
 
-    g = jnp.take(grad, safe, axis=0)
-    mu_rows = jnp.take(state.mu, safe, axis=0)
-    nu_rows = jnp.take(state.nu, safe, axis=0)
+    # `uids` is sorted ascending with all-distinct entries (jnp.unique
+    # output; fill_value = v sorts last) — tell XLA so the scatters take
+    # the parallel no-duplicate path instead of the serialized
+    # duplicate-safe one (measured 2x step regression at batch 262144
+    # without the hints). `safe` is clip(uids): still sorted, but fill
+    # slots collapse onto row v-1, so it is NOT unique — sorted hint only.
+    g = grad.at[safe].get(indices_are_sorted=True)
+    mu_rows = state.mu.at[safe].get(indices_are_sorted=True)
+    nu_rows = state.nu.at[safe].get(indices_are_sorted=True)
     mu_new = b1 * mu_rows + (1.0 - b1) * g
     nu_new = b2 * nu_rows + (1.0 - b2) * (g * g)
     upd = -learning_rate * (mu_new / c1) / (jnp.sqrt(nu_new / c2) + eps)
 
-    new_table = table.at[uids].add(upd, mode="drop")
-    new_mu = state.mu.at[uids].set(mu_new, mode="drop")
-    new_nu = state.nu.at[uids].set(nu_new, mode="drop")
+    new_table = table.at[uids].add(
+        upd, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    new_mu = state.mu.at[uids].set(
+        mu_new, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    new_nu = state.nu.at[uids].set(
+        nu_new, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     return new_table, RowAdamState(count=count, mu=new_mu, nu=new_nu)

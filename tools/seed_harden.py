@@ -31,10 +31,18 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# DIEN aux: NONE for the t64 capability stages. The one-stream alpha
+# curve (this tool's ALPHAS stages + BASELINE.md) proves paper@0.5 —
+# seq_signal's default — pins DIEN to chance on this generator; the
+# 2026-08-20 replay that forced "--dien-aux paper" here reproduced
+# DIN/DeepFM bit-exactly but floored every DIEN row, which is how the
+# r3 runs' unrecorded aux flag was caught. The capability question
+# (does the 64-step recurrence extract the planted signal?) needs the
+# aux penalty off.
 T64 = [
     "--n", "2000000", "--test-n", "300000", "--epochs", "12",
     "--t", "64", "--recency", "0.97", "--datasets", "sequence",
-    "--dien-aux", "paper",
+    "--dien-aux", "none",
 ]
 
 RUNS = [
@@ -45,7 +53,7 @@ RUNS = [
     ("t64_dien_24_epochs", [
         "--n", "2000000", "--test-n", "300000", "--epochs", "24",
         "--t", "64", "--model-t", "64", "--recency", "0.97",
-        "--datasets", "sequence", "--dien-aux", "paper",
+        "--datasets", "sequence", "--dien-aux", "none",
         "--models", "dien", "--seeds", "3",
     ]),
 ]

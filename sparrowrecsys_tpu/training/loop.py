@@ -124,19 +124,37 @@ class Trainer:
 
     def init_opt_state(self, params):
         """Optimizer state: the dense transform's state, plus per-table
-        row-Adam moments when sparse_tables is configured. Use this (not
-        tx.init) whenever sparse tables may be on."""
+        FUSED row-Adam buffers when sparse_tables is configured — the
+        table itself moves INTO the [V, 3D] buffer (table|mu|nu) so the
+        whole lazy-Adam step is one row gather + one row scatter
+        (tools/row_optim_probe.py attributed the 3-scatter layout
+        scatter-bound). During fit() the param tree carries an empty
+        placeholder for those tables; fit() re-materializes them on
+        return. Use this (not tx.init) whenever sparse tables may be
+        on."""
         if not self.sparse_tables:
             return self.tx.init(params)
-        from sparrowrecsys_tpu.training.row_optim import init_row_adam
+        from sparrowrecsys_tpu.training.row_optim import init_fused_row_adam
 
         return {
             "dense": self.tx.init(self._dense_view(params)),
             "rows": {
-                mod: init_row_adam(params[mod]["table"])
+                mod: init_fused_row_adam(params[mod]["table"])
                 for mod in self.sparse_tables
             },
         }
+
+    def _materialize_tables(self, params, opt_state):
+        """Copy the param table out of each fused optimizer buffer back
+        into the param tree (inverse of the fit()-time placeholdering)."""
+        from sparrowrecsys_tpu.training.row_optim import fused_table
+
+        out = dict(params)
+        for mod in self.sparse_tables:
+            sub = dict(out[mod])
+            sub["table"] = fused_table(opt_state["rows"][mod])
+            out[mod] = sub
+        return out
 
     # ------------------------------------------------------------------
     def init_params(self, sample_feats: Dict[str, np.ndarray], seed: int = None):
@@ -314,49 +332,66 @@ class Trainer:
         def train_step(params, opt_state, mstate, feats, labels, mask,
                        step_key=None):
             if loss_fn is None:
-                (loss, (logits, loss_sum)), grads = jax.value_and_grad(
-                    lambda p: _default_loss(apply_fn, p, feats, labels, mask),
-                    has_aux=True,
-                )(params)
+                def base(pm):
+                    return _default_loss(apply_fn, pm, feats, labels, mask)
             elif wants_rng:
-                (loss, (logits, loss_sum)), grads = jax.value_and_grad(
-                    lambda p: loss_fn(apply_fn, p, feats, labels, mask,
-                                      step_key),
-                    has_aux=True,
-                )(params)
+                def base(pm):
+                    return loss_fn(apply_fn, pm, feats, labels, mask,
+                                   step_key)
             else:
-                (loss, (logits, loss_sum)), grads = jax.value_and_grad(
-                    lambda p: loss_fn(apply_fn, p, feats, labels, mask),
-                    has_aux=True,
-                )(params)
+                def base(pm):
+                    return loss_fn(apply_fn, pm, feats, labels, mask)
             if self.sparse_tables:
+                # The sparse tables live inside the fused [V, 3D] opt
+                # buffers (params hold empty placeholders); slice the
+                # table views out, differentiate w.r.t. them alongside
+                # the rest of the params, then run one fused
+                # gather+scatter lazy-Adam step per table.
                 from sparrowrecsys_tpu.training.row_optim import (
-                    row_adam_update,
+                    fused_row_adam_update,
+                    fused_table,
                 )
 
                 cfg = self.config
-                dense_p = self._dense_view(params)
-                updates, dstate = self.tx.update(
-                    self._dense_view(grads), opt_state["dense"], dense_p
-                )
-                new_params = optax.apply_updates(dense_p, updates)
+                rows_in = opt_state["rows"]
+                tables = {
+                    mod: fused_table(rows_in[mod])
+                    for mod in self.sparse_tables
+                }
+
+                def with_tables(p, tbls):
+                    pm = dict(p)
+                    for mod, t in tbls.items():
+                        sub = dict(pm[mod])
+                        sub["table"] = t
+                        pm[mod] = sub
+                    return pm
+
+                (loss, (logits, loss_sum)), (gp, gt) = jax.value_and_grad(
+                    lambda p, tbls: base(with_tables(p, tbls)),
+                    argnums=(0, 1), has_aux=True,
+                )(params, tables)
+                # gp's placeholder leaves are zeros((0,)) (unused diff
+                # input) — exactly the dense view the dense transform
+                # was initialized with.
+                updates, dstate = self.tx.update(gp, opt_state["dense"],
+                                                 params)
+                params = optax.apply_updates(params, updates)
                 rows = {}
                 for mod, cols in self.sparse_tables.items():
                     ids = jnp.concatenate(
                         [feats[c].reshape(-1).astype(jnp.int32) for c in cols]
                     )
-                    tbl, rows[mod] = row_adam_update(
-                        params[mod]["table"], opt_state["rows"][mod],
-                        grads[mod]["table"], ids,
+                    rows[mod] = fused_row_adam_update(
+                        rows_in[mod], gt[mod], ids,
                         learning_rate=cfg.learning_rate, b1=cfg.adam_b1,
                         b2=cfg.adam_b2, eps=cfg.adam_eps,
                     )
-                    sub = dict(new_params[mod])
-                    sub["table"] = tbl
-                    new_params[mod] = sub
-                params = new_params
                 opt_state = {"dense": dstate, "rows": rows}
             else:
+                (loss, (logits, loss_sum)), grads = jax.value_and_grad(
+                    base, has_aux=True,
+                )(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
             probs = jax.nn.sigmoid(logits)
@@ -425,6 +460,13 @@ class Trainer:
         if params is None:
             params = self.init_params(train.features)
         opt_state = self.init_opt_state(params)
+        if self.sparse_tables:
+            # The real tables now live inside the fused optimizer buffers
+            # (init_opt_state embedded them); train with placeholders in
+            # the param tree and re-materialize on return. Checkpoints
+            # save this (placeholder + fused) form, so resume templates
+            # match.
+            params = self._dense_view(params)
         start_epoch = 0
         if resume and state_dir:
             from sparrowrecsys_tpu.training import checkpoint as ckpt
@@ -549,6 +591,8 @@ class Trainer:
                     f"pr_auc={em['pr_auc']:.4f}"
                 )
             maybe_checkpoint(epoch + 1)
+        if self.sparse_tables:
+            params = self._materialize_tables(params, opt_state)
         hard_sync(params)
         end = time.perf_counter()
         # Convert deferred per-epoch device metrics to floats (post-timing).

@@ -99,7 +99,12 @@ def measure_epoch(trainer, data, labels, n, batch) -> float:
         for k, v in data.items()
     }
     params = trainer.init_params(sample)
-    carry = (params, trainer.init_opt_state(params), M.init_metrics())
+    opt0 = trainer.init_opt_state(params)
+    if trainer.sparse_tables:
+        # fused lazy Adam: tables live in the opt buffers, params carry
+        # placeholders (training/loop.py fit() convention).
+        params = trainer._dense_view(params)
+    carry = (params, opt0, M.init_metrics())
     carry = trainer._train_epoch(
         *carry, data, labels, jax.random.PRNGKey(0),
         n=n, batch_size=batch, shuffle=True,

@@ -107,7 +107,9 @@ def main() -> None:
             with open(args.out, "w") as f:  # checkpoint after each stage
                 json.dump(merged, f, indent=1)
         if not args.skip_alpha:
-            curve = {}
+            # Seed from any pre-existing curve so a crash mid-curve does
+            # not truncate previously recorded alpha points (ADVICE r4).
+            curve = merged.get("aux_alpha_curve", {})
             for key, extra in ALPHAS:
                 print(f"=== alpha {key} ===", flush=True)
                 curve[key] = run_one(ALPHA_BASE + extra, tmp)

@@ -159,6 +159,12 @@ def main() -> None:
                     "compat_dim": args.compat_dim, "gain": args.gain,
                     "recency": args.recency, "markov_tau": args.markov_tau,
                     "t": args.t, "model_t": args.model_t or args.t,
+                    # Provenance (r4 postmortem): the aux flags MUST be in
+                    # the artifact — the withdrawn r3 DIEN rows were
+                    # aux-off runs whose flag went unrecorded.
+                    "dien_aux": args.dien_aux,
+                    "dien_alpha": args.dien_alpha,
+                    "models": args.models,
                 },
                 "results": results,
             },

@@ -181,13 +181,16 @@ class ServingConfig:
     #: watcher (scorers then serve their load-time version forever).
     model_poll_s: float = 1.0
     #: admission control: shed requests with 503 once this many handler
-    #: executions are in flight (0 = unbounded, the reference-parity
-    #: default). Under open-loop overload an unbounded queue COLLAPSES
-    #: throughput (BASELINE.md round-4 saturation: 992 -> 273 rps at 2x
-    #: capacity); a bound holds the server at capacity with bounded
-    #: latency — the role Jetty's bounded thread pool plays for the
-    #: reference.
-    max_inflight: int = 0
+    #: executions are in flight (0 = unbounded opt-out). Under open-loop
+    #: overload an unbounded queue COLLAPSES throughput (BASELINE.md
+    #: round-4 saturation: 992 -> 273 rps at 2x capacity, p99 18 s);
+    #: bounded, the server holds its measured ~950 rps capacity with p99
+    #: ~109 ms. Default 32 = 2x the 16-worker handler pool, the measured
+    #: knee concurrency — the role Jetty's bounded thread pool plays
+    #: implicitly for the reference (`RecSysServer.java:76-78`); our
+    #: asyncio facade has no implicit bound, so shipping it OFF would
+    #: reproduce a failure mode the reference doesn't actually have.
+    max_inflight: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import asyncio
 import threading
+import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
 Response = Tuple[int, str, bytes]
@@ -54,6 +56,15 @@ class AsyncHTTPServer:
         self.max_inflight = max_inflight
         self._inflight = 0  # touched only on the event-loop thread
         self.shed_count = 0
+        #: Per-endpoint latency ring buffers (server-side observability —
+        #: the saturation curves were previously visible only from the
+        #: load generator). Timed from executor submit to handler return,
+        #: so executor QUEUE WAIT — the overload signal — is included.
+        #: Touched only on the event-loop thread; /metrics reads a
+        #: snapshot via latency_stats(). 2048 samples ≈ the last ~2 s at
+        #: the measured ~1k rps capacity, sliding-window quantiles.
+        self._lat: Dict[str, deque] = {}
+        self._lat_n: Dict[str, int] = {}
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._server: Optional[asyncio.AbstractServer] = None
@@ -107,6 +118,7 @@ class AsyncHTTPServer:
                         break
                     continue
                 self._inflight += 1
+                t0 = time.perf_counter()
                 try:
                     status, ctype, body = await loop.run_in_executor(
                         self._pool, self.handler, parsed.path, q
@@ -115,6 +127,9 @@ class AsyncHTTPServer:
                     status, ctype, body = 500, "text/plain", b""
                 finally:
                     self._inflight -= 1
+                    self._record_latency(
+                        parsed.path, (time.perf_counter() - t0) * 1e3
+                    )
                 # The peer may vanish mid-write (load generators close all
                 # sockets at their deadline; warmup clients abandon slow
                 # first-compile requests) — a dead socket ends the
@@ -133,6 +148,40 @@ class AsyncHTTPServer:
                 await writer.wait_closed()
             except Exception:
                 pass
+
+    def _record_latency(self, path: str, ms: float) -> None:
+        # Bounded cardinality: API endpoints keep their path; the static
+        # webroot (arbitrary file paths) collapses into one group.
+        group = path if path.startswith("/get") or path == "/metrics" \
+            else "static"
+        ring = self._lat.get(group)
+        if ring is None:
+            ring = self._lat[group] = deque(maxlen=2048)
+            self._lat_n[group] = 0
+        ring.append(ms)
+        self._lat_n[group] += 1
+
+    def latency_stats(self) -> Dict[str, Dict[str, float]]:
+        """Sliding-window latency quantiles per endpoint, in ms: p50/p90/
+        p99 over the last <=2048 requests plus the all-time count. Safe to
+        call from any thread (list() snapshots the ring; the GIL makes the
+        deque read atomic enough for monitoring)."""
+        out = {}
+        for group, ring in list(self._lat.items()):
+            xs = sorted(ring)
+            if not xs:
+                continue
+            n = len(xs)
+
+            def pct(p):
+                return round(xs[min(n - 1, int(p * (n - 1) + 0.5))], 2)
+
+            out[group] = {
+                "count": self._lat_n.get(group, n), "window": n,
+                "p50_ms": pct(0.50), "p90_ms": pct(0.90),
+                "p99_ms": pct(0.99),
+            }
+        return out
 
     @staticmethod
     async def _respond(writer, status: int, ctype: str, body: bytes,

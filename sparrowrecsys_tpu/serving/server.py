@@ -196,6 +196,13 @@ class RecSysServer:
                 snap["model_versions"] = self.watcher.versions()
             if self._httpd is not None and self._httpd.max_inflight:
                 snap["shed_count"] = self._httpd.shed_count
+            if self._httpd is not None:
+                # Server-side latency quantiles (queue wait included) so
+                # the saturation curves are observable in production, not
+                # only from the load generator (VERDICT r4 #9).
+                lat = self._httpd.latency_stats()
+                if lat:
+                    snap["latency_ms"] = lat
             return self._json(snap)
         try:
             if path == "/getmovie":

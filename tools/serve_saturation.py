@@ -40,7 +40,7 @@ from tools.http_load import run_open_loop  # noqa: E402
 
 
 def start_server(backend: str, rank_model=None, model_batch: int = 0,
-                 max_inflight: int = 0):
+                 max_inflight: int = -1):
     env = dict(os.environ, PORT="0")
     cmd = [
         sys.executable, "-m", "sparrowrecsys_tpu.serving.server",
@@ -51,7 +51,9 @@ def start_server(backend: str, rank_model=None, model_batch: int = 0,
                 os.path.join(REPO, "data", "modeldata", rank_model)]
     if model_batch:
         cmd += ["--model-batch", str(model_batch)]
-    if max_inflight:
+    if max_inflight >= 0:
+        # -1 = use the server's own (bounded) default; 0 = explicit
+        # unbounded opt-out for like-for-like collapse curves.
         cmd += ["--max-inflight", str(max_inflight)]
     if backend == "cpu":
         cmd.append("--cpu")
@@ -85,7 +87,7 @@ def catalog_user_ids(limit: int = 64) -> list:
 
 
 def sweep(path: str, backend: str, rates, seconds: float, procs: int,
-          model_batch: int = 0, max_inflight: int = 0) -> list:
+          model_batch: int = 0, max_inflight: int = -1) -> list:
     import urllib.request
 
     rank_model = None if path == "emb" else path
@@ -107,8 +109,10 @@ def sweep(path: str, backend: str, rates, seconds: float, procs: int,
             row = {"path": path, "backend": backend, **res}
             if model_batch:
                 row["model_batch"] = model_batch
-            if max_inflight:
-                row["max_inflight"] = max_inflight
+            if max_inflight != 0:
+                row["max_inflight"] = (
+                    "default" if max_inflight < 0 else max_inflight
+                )
             rows.append(row)
             print(json.dumps(row), flush=True)
             time.sleep(1.0)  # let queues fully drain between points
@@ -127,8 +131,10 @@ def main() -> None:
     ap.add_argument("--procs", type=int, default=4)
     ap.add_argument("--model-batches", default="0",
                     help="model-path wave sizes to sweep (0 = config default)")
-    ap.add_argument("--max-inflight", type=int, default=0,
-                    help="admission-control bound (503 shedding; 0 = off)")
+    ap.add_argument("--max-inflight", type=int, default=-1,
+                    help="admission-control bound (503 shedding); -1 = the "
+                    "server's default (ServingConfig.max_inflight=32), "
+                    "0 = explicit unbounded opt-out")
     ap.add_argument("--out", default=os.path.join(REPO, "saturation.json"))
     args = ap.parse_args()
 

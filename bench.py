@@ -166,6 +166,46 @@ def bench_serving() -> dict:
     }
 
 
+def bench_mfu(dim: int = 128, hidden: int = 1024, batch: int = 262144,
+              user_vocab: int = 1 << 20, movie_vocab: int = 1 << 17) -> dict:
+    """Production-shape MFU row (VERDICT r4 #5): the tools/mfu_demo.py
+    protocol — EmbeddingMLP at dim 128 / 1024-wide bf16 towers / 2^20-row
+    user table / block shuffle — through the REAL resident-epoch path, so
+    the driver artifact records the MXU-bound headline (TFLOP/s, % of
+    v5e bf16 peak) alongside the dispatch-floor ex/s rows."""
+    from tools.mfu_demo import (
+        STEPS as MSTEPS,
+        V5E_BF16_PEAK,
+        gen_epoch,
+        measure_epoch,
+        train_flops_per_example,
+    )
+
+    n = batch * MSTEPS
+    data, labels = gen_epoch(n, user_vocab, movie_vocab)(jax.random.PRNGKey(0))
+    model = build_model(
+        "embedding_mlp", dim=dim, hidden=hidden, compute_dtype="bfloat16",
+        user_buckets=user_vocab, movie_buckets=movie_vocab,
+    )
+    trainer = Trainer(
+        model,
+        TrainConfig(batch_size=batch, epochs=1, shuffle_mode="blocks"),
+    )
+    trainer._build_steps()
+    secs = measure_epoch(trainer, data, labels, n, batch)
+    flops_ex = train_flops_per_example(dim, hidden)
+    tflops = flops_ex * n / secs / 1e12
+    return {
+        "ms_per_step": round(secs / MSTEPS * 1e3, 2),
+        "ex_per_sec_M": round(n / secs / 1e6, 2),
+        "tflops": round(tflops, 1),
+        "mfu_pct_v5e_bf16_peak": round(tflops / (V5E_BF16_PEAK / 1e12) * 100, 1),
+        "config": f"embedding_mlp dim{dim} hidden{hidden} batch{batch} "
+        f"bf16 {user_vocab}-row user table, blocks shuffle "
+        "(tools/mfu_demo.py protocol)",
+    }
+
+
 def bench_scaling() -> dict:
     from sparrowrecsys_tpu.parallel.scaling import measure_scaling
 
@@ -209,6 +249,18 @@ def main() -> None:
         return
     if "--serving" in sys.argv:
         print(json.dumps(bench_serving()))
+        return
+    if "--mfu" in sys.argv:
+        # standalone MFU row; optional "dim,hidden,batch" override for
+        # smoke tests: bench.py --mfu 16,64,1024
+        idx = sys.argv.index("--mfu")
+        nxt = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else ""
+        kw = {}
+        if "," in nxt:
+            d, h, b = (int(x) for x in nxt.split(","))
+            kw = dict(dim=d, hidden=h, batch=b,
+                      user_vocab=1 << 16, movie_vocab=1 << 12)
+        print(json.dumps(bench_mfu(**kw)))
         return
     import jax.numpy as jnp
 
@@ -302,20 +354,24 @@ def main() -> None:
     # the same batch; batch 65536 is the production headline config.
     eps_8192 = measure(8192, 64)
     eps_65536 = measure(BATCH, STEPS)
-    print(
-        json.dumps(
-            {
-                "metric": "deepfm_train_examples_per_sec_per_chip",
-                "value": round(eps_65536, 1),
-                "unit": f"examples/s/chip (batch {BATCH}; vs_baseline is "
-                "like-for-like batch 8192 vs the pinned r1 number)",
-                "vs_baseline": round(eps_8192 / BASELINE_LOCAL, 3),
-                "batch_8192": round(eps_8192, 1),
-                "batch_65536": round(eps_65536, 1),
-                "vs_baseline_batch_65536": round(eps_65536 / BASELINE_LOCAL, 3),
-            }
-        )
-    )
+    row = {
+        "metric": "deepfm_train_examples_per_sec_per_chip",
+        "value": round(eps_65536, 1),
+        "unit": f"examples/s/chip (batch {BATCH}; vs_baseline is "
+        "like-for-like batch 8192 vs the pinned r1 number)",
+        "vs_baseline": round(eps_8192 / BASELINE_LOCAL, 3),
+        "batch_8192": round(eps_8192, 1),
+        "batch_65536": round(eps_65536, 1),
+        "vs_baseline_batch_65536": round(eps_65536 / BASELINE_LOCAL, 3),
+    }
+    # MFU headline rides the same (single) JSON line so the driver's
+    # parse stays intact while BENCH_rNN.json captures both the
+    # dispatch-floor ex/s AND the MXU-bound TFLOP/s (VERDICT r4 #5).
+    try:
+        row["mfu"] = bench_mfu()
+    except Exception as e:  # never lose the legacy row to an MFU failure
+        row["mfu_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -161,6 +161,80 @@ def sequence_ctr_with_oracle(
     return EncodedDataset(feats, labels), logit
 
 
+def drift_ctr_with_oracle(
+    n: int,
+    movie_vocab: int = 1001,
+    user_vocab: int = 30001,
+    seed: int = 0,
+    t: int = 5,
+    drift_rho: float = 0.9,
+    tau: float = 2.0,
+    gain: float = 4.0,
+    compat_dim: int = 8,
+    chunk: int = 262_144,
+):
+    """Interest-DRIFT generator (VERDICT r4 #3b): the setting where DIEN's
+    auxiliary loss could genuinely help, unlike `_sequence_ctr` whose
+    Markov history may carry no next-step signal the terminal label
+    doesn't already extract.
+
+    Each example has a latent taste vector that EVOLVES over the sequence
+    as an AR(1) random walk (taste_{k+1} = rho*taste_k + sqrt(1-rho^2)*eps,
+    stationary N(0, I)); the history item at each step is a noisy
+    observation of the taste AT THAT TIME (Gumbel-max over tau * E @
+    taste_k); the label depends ONLY on the FINAL taste vs the candidate
+    (sigmoid(gain * taste_T . B[cand] / sqrt(d))). Recovering the label
+    signal requires FILTERING the taste trajectory from the observations —
+    exactly the per-step supervision DIEN's next-item auxiliary head
+    provides (hidden_t must track taste_t to predict item_{t+1}); the
+    terminal label alone gives 1 bit/sequence. The published claim under
+    test: aux loss helps interest evolution over long sequences
+    (`/root/reference/TFRecModel/.../DIEN.py:275-308`).
+
+    History layout parity: userRatedMovie1..t most-recent-first (column 0
+    = newest = drawn from the taste closest to the label's). Returns
+    (EncodedDataset, oracle_logits) like `sequence_ctr_with_oracle`.
+    """
+    rng = np.random.default_rng(seed)
+    e = rng.normal(size=(movie_vocab, compat_dim)).astype(np.float32)
+    b = rng.normal(size=(movie_vocab, compat_dim)).astype(np.float32)
+    hist = np.empty((n, t), np.int32)
+    taste = rng.normal(size=(n, compat_dim)).astype(np.float32)
+    sig = np.sqrt(1.0 - drift_rho ** 2).astype(np.float32)
+    # Oldest -> newest: column t-1 first (most-recent-first layout).
+    for step in range(t - 1, -1, -1):
+        # Gumbel-max categorical over tau * taste @ E^T, chunked so the
+        # [c, V] logits never exceed ~1 GB at the default chunk.
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            logits = tau * (taste[lo:hi] @ e[1:].T)     # [c, V-1]
+            g = rng.gumbel(size=logits.shape).astype(np.float32)
+            hist[lo:hi, step] = 1 + np.argmax(logits + g, axis=1)
+        if step > 0:
+            taste = drift_rho * taste + sig * rng.normal(
+                size=taste.shape
+            ).astype(np.float32)
+    # taste now = taste at the NEWEST step (the terminal interest).
+    cand = rng.integers(1, movie_vocab, n).astype(np.int32)
+    logit = gain * np.einsum("nd,nd->n", taste, b[cand]) / np.sqrt(compat_dim)
+    labels = (rng.random(n) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+
+    feats: Dict[str, np.ndarray] = {
+        "movieId": cand,
+        "userId": rng.integers(1, user_vocab, n).astype(np.int32),
+    }
+    for k in range(t):
+        feats[f"userRatedMovie{k + 1}"] = hist[:, k]
+    for c in ("userGenre1", "userGenre2", "userGenre3", "userGenre4",
+              "userGenre5", "movieGenre1", "movieGenre2", "movieGenre3"):
+        feats[c] = rng.integers(-1, 19, n).astype(np.int32)
+    for c in ("releaseYear", "movieRatingCount", "movieAvgRating",
+              "movieRatingStddev", "userRatingCount", "userAvgRating",
+              "userRatingStddev"):
+        feats[c] = rng.normal(size=n).astype(np.float32)
+    return EncodedDataset(feats, labels), logit.astype(np.float32)
+
+
 def _markov_history(rng, a, b, n, t, tau, compat_dim):
     """[n, t] walk, column t-1 oldest -> column 0 most recent (the
     userRatedMovie1..t layout is most-recent-first). Ids in [1, vocab).

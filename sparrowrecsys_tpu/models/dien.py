@@ -73,6 +73,14 @@ class DIEN(nn.Module):
     user_buckets: int = USER_VOCAB_SIZE
     aux_mode: str = "reference"  # or "paper"
     alpha: float = 0.5
+    #: aux aggregation over history steps (paper mode only). "sum" is the
+    #: published form (DIEN.py:297-305 sums over T) — which couples the
+    #: aux term's effective weight to HISTORY LENGTH: at T=64 the summed
+    #: aux is ~13x the T=5 term at the same alpha, which is how
+    #: paper@0.5 pinned T=64 DIEN to chance (BASELINE.md r4 alpha curve).
+    #: "mean" divides by the per-example count of valid steps so alpha
+    #: means the same thing at any T (VERDICT r4 #3a).
+    aux_norm: str = "sum"
     #: behaviour-sequence length (5 = reference parity; the GRU/AUGRU are
     #: lax.scan, so any T compiles without unrolling)
     recent_movies: int = 5
@@ -255,6 +263,9 @@ class DIEN(nn.Module):
                 * step_valid,
                 axis=1,
             )
+            if self.aux_norm == "mean":
+                # Per-step mean: decouple alpha from T (see field doc).
+                aux = aux / jnp.maximum(jnp.sum(step_valid, axis=1), 1.0)
         else:
             # Reference parity: unmasked sum (DIEN.py:297-305 has no mask).
             aux = jnp.sum(pos_p + neg_p, axis=1)

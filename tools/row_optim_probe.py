@@ -11,7 +11,11 @@ in isolation, each as a scan over STEPS iterations in ONE dispatch
   unique     : jnp.unique(ids, size=B) alone
   gather     : the 3 row gathers ([B] rows from table/mu/nu) + Adam math
   scatter    : the 3 row scatters back (hints on), on precomputed rows
+  scatter1   : ONE [B, 3D] scatter into a fused [V, 3D] buffer (same
+               bytes, 1/3 the scatter ops — the round-4 lever)
   sparse_all : full row_adam_update (= unique + gather + scatter)
+  fused_all  : full fused_row_adam_update (one gather + one scatter on
+               the fused buffer — what Trainer(sparse_tables=...) runs)
   dense      : optax-style dense Adam update of the same table (the
                moment-stream baseline the sparse path tries to beat)
 
@@ -39,6 +43,8 @@ import numpy as np
 from sparrowrecsys_tpu.training.loop import hard_sync
 from sparrowrecsys_tpu.training.row_optim import (
     RowAdamState,
+    fused_row_adam_update,
+    init_fused_row_adam,
     init_row_adam,
     row_adam_update,
 )
@@ -64,7 +70,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="comma list of variants to run (HBM control: the "
+                    "full set holds both layouts and OOMs a 16 GB chip at "
+                    "vocab 2^22)")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     v, b, d = 1 << args.vocab, args.batch, args.dim
     print(f"backend: {jax.devices()[0].platform}  table [{v}, {d}]  "
@@ -73,7 +84,12 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     table = jax.random.normal(key, (v, d), jnp.float32) * 0.05
     grad = jax.random.normal(jax.random.fold_in(key, 1), (v, d), jnp.float32)
-    state = init_row_adam(table)
+    # mu/nu (2x table bytes) only when a selected variant needs them —
+    # at vocab 2^22 the full set plus the fused buf exceeds 16 GB HBM.
+    need_state = only is None or bool(
+        only & {"gather+math", "scatter", "sparse_all", "dense_adam"}
+    )
+    state = init_row_adam(table) if need_state else None
     ids = jax.random.randint(jax.random.fold_in(key, 2), (STEPS, b), 0, v,
                              dtype=jnp.int32)
 
@@ -124,6 +140,25 @@ def main() -> None:
         return t, m, n
 
     @jax.jit
+    def scatter_one(buf, rows3, ids):
+        def body(b, step_ids):
+            uids = jnp.sort(step_ids)
+            b = b.at[uids].set(rows3, mode="drop", unique_indices=True,
+                               indices_are_sorted=True)
+            return b, jnp.float32(0)
+        b, _ = jax.lax.scan(body, buf, ids)
+        return b
+
+    @jax.jit
+    def fused_all(state, grad, ids):
+        def body(st, step_ids):
+            st = fused_row_adam_update(st, grad, step_ids,
+                                       learning_rate=1e-3)
+            return st, jnp.float32(0)
+        st, _ = jax.lax.scan(body, state, ids)
+        return st
+
+    @jax.jit
     def sparse_all(table, state, grad, ids):
         def body(carry, step_ids):
             t, st = carry
@@ -148,25 +183,45 @@ def main() -> None:
         return t, st
 
     rows = jax.random.normal(jax.random.fold_in(key, 3), (b, d), jnp.float32)
-    results = {
-        "noop": bench(noop, (table, ids), args.rounds),
-        "unique": bench(unique_only, (table, ids), args.rounds),
-        "gather+math": bench(gather_math, (table, state.mu, state.nu, grad,
-                                           ids), args.rounds),
-        "scatter": bench(scatter_only, (table, state.mu, state.nu, rows,
-                                        ids), args.rounds),
-        "sparse_all": bench(sparse_all, (table, state, grad, ids),
-                            args.rounds),
-        "dense_adam": bench(dense_adam, (table, state, grad, ids),
-                            args.rounds),
+    variants = {
+        "noop": lambda: bench(noop, (table, ids), args.rounds),
+        "unique": lambda: bench(unique_only, (table, ids), args.rounds),
+        "gather+math": lambda: bench(
+            gather_math, (table, state.mu, state.nu, grad, ids), args.rounds
+        ),
+        "scatter": lambda: bench(
+            scatter_only, (table, state.mu, state.nu, rows, ids), args.rounds
+        ),
+        "scatter1": lambda: bench(
+            scatter_one,
+            (init_fused_row_adam(table).buf,
+             jax.random.normal(jax.random.fold_in(key, 4), (b, 3 * d),
+                               jnp.float32),
+             ids),
+            args.rounds,
+        ),
+        "sparse_all": lambda: bench(sparse_all, (table, state, grad, ids),
+                                    args.rounds),
+        "fused_all": lambda: bench(
+            fused_all, (init_fused_row_adam(table), grad, ids), args.rounds
+        ),
+        "dense_adam": lambda: bench(dense_adam, (table, state, grad, ids),
+                                    args.rounds),
     }
-    for k, ms in results.items():
-        print(f"{k:<12} {ms:8.3f} ms/step", flush=True)
-    interaction = (results["sparse_all"] - results["unique"]
-                   - results["gather+math"] - results["scatter"]
-                   + 2 * results["noop"])
-    print(f"interaction (sparse_all - parts): {interaction:+.3f} ms/step",
-          flush=True)
+    results = {}
+    for k, run in variants.items():
+        if only is not None and k not in only:
+            continue
+        results[k] = run()
+        print(f"{k:<12} {results[k]:8.3f} ms/step", flush=True)
+    if {"sparse_all", "unique", "gather+math", "scatter", "noop"} <= set(
+        results
+    ):
+        interaction = (results["sparse_all"] - results["unique"]
+                       - results["gather+math"] - results["scatter"]
+                       + 2 * results["noop"])
+        print(f"interaction (sparse_all - parts): {interaction:+.3f} ms/step",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,17 @@ def main() -> None:
     ap.add_argument("--dien-aux", default="paper",
                     choices=("paper", "none", "reference"))
     ap.add_argument("--dien-alpha", type=float, default=0.5)
+    ap.add_argument("--dien-aux-norm", default="sum",
+                    choices=("sum", "mean"),
+                    help="paper-aux aggregation over steps: 'sum' is the "
+                    "published form (couples alpha to T); 'mean' is "
+                    "per-valid-step so alpha means the same at any T "
+                    "(VERDICT r4 #3a)")
+    # Interest-drift generator knobs (--datasets drift; see
+    # synthetic.py::drift_ctr_with_oracle — the setting where next-step
+    # prediction carries signal the terminal label doesn't).
+    ap.add_argument("--drift-rho", type=float, default=0.9)
+    ap.add_argument("--drift-tau", type=float, default=2.0)
     args = ap.parse_args()
 
     import jax
@@ -75,7 +86,8 @@ def main() -> None:
     from sparrowrecsys_tpu.data.dataset import EncodedDataset
     from sparrowrecsys_tpu.data.negatives import add_dien_negatives
     from sparrowrecsys_tpu.data.synthetic import (
-        sequence_ctr_with_oracle, synthetic_ctr_dataset,
+        drift_ctr_with_oracle, sequence_ctr_with_oracle,
+        synthetic_ctr_dataset,
     )
     from sparrowrecsys_tpu.models import build_model
     from sparrowrecsys_tpu.models.dien import dien_loss_fn
@@ -92,12 +104,19 @@ def main() -> None:
 
     results = {}
     for dname in args.datasets.split(","):
-        if dname == "sequence":
-            full, oracle = sequence_ctr_with_oracle(
-                total, seed=7, t=args.t, compat_dim=args.compat_dim,
-                gain=args.gain, recency=args.recency,
-                markov_tau=args.markov_tau,
-            )
+        if dname in ("sequence", "drift"):
+            if dname == "drift":
+                full, oracle = drift_ctr_with_oracle(
+                    total, seed=7, t=args.t, compat_dim=args.compat_dim,
+                    gain=args.gain, drift_rho=args.drift_rho,
+                    tau=args.drift_tau,
+                )
+            else:
+                full, oracle = sequence_ctr_with_oracle(
+                    total, seed=7, t=args.t, compat_dim=args.compat_dim,
+                    gain=args.gain, recency=args.recency,
+                    markov_tau=args.markov_tau,
+                )
             train_ds, test_ds = split(full)
             o = exact_auc(1 / (1 + np.exp(-oracle[args.n:])), test_ds.labels)
             oracle_auc = o["roc_auc"]
@@ -123,6 +142,7 @@ def main() -> None:
                     )
                     model = model.copy(
                         aux_mode=args.dien_aux, alpha=args.dien_alpha,
+                        aux_norm=args.dien_aux_norm,
                     )
                     loss_fn = dien_loss_fn(
                         alpha=args.dien_alpha, aux_mode=args.dien_aux
@@ -164,6 +184,9 @@ def main() -> None:
                     # aux-off runs whose flag went unrecorded.
                     "dien_aux": args.dien_aux,
                     "dien_alpha": args.dien_alpha,
+                    "dien_aux_norm": args.dien_aux_norm,
+                    "drift_rho": args.drift_rho,
+                    "drift_tau": args.drift_tau,
                     "models": args.models,
                 },
                 "results": results,

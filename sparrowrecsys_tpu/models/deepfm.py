@@ -110,6 +110,10 @@ class DeepFMv2(nn.Module):
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
+    #: deep tower widths deep1=deep_hidden, deep2=deep_hidden//2
+    #: (reference 32/16, DeepFM_v2.py:126-128); scalable for
+    #: production-shape MFU configs.
+    deep_hidden: int = 32
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -163,8 +167,10 @@ class DeepFMv2(nn.Module):
 
         dt = compute_dtype(self.compute_dtype)
         deep = fields.reshape(fields.shape[0], -1)
-        deep = nn.relu(nn.Dense(32, dtype=dt, name="deep1")(deep))
-        deep = nn.relu(nn.Dense(16, dtype=dt, name="deep2")(deep))
+        deep = nn.relu(nn.Dense(self.deep_hidden, dtype=dt, name="deep1")(deep))
+        deep = nn.relu(
+            nn.Dense(self.deep_hidden // 2, dtype=dt, name="deep2")(deep)
+        )
         deep = deep.astype(jnp.float32)
 
         x = jnp.concatenate([first[:, None], fm, deep], axis=-1)

@@ -73,6 +73,13 @@ class DIEN(nn.Module):
     user_buckets: int = USER_VOCAB_SIZE
     aux_mode: str = "reference"  # or "paper"
     alpha: float = 0.5
+    #: tower widths fc1=hidden, fc2=hidden//2 (reference 128/64,
+    #: DIEN.py:266-272); scalable for production-shape MFU configs.
+    hidden: int = 128
+    #: dtype for the fc towers and attention (recurrences stay fp32 —
+    #: GRU/AUGRU state feedback is precision-sensitive and scan-bound,
+    #: not MXU-bound; the towers are where bf16 buys MXU rate).
+    compute_dtype: str = "float32"
     #: aux aggregation over history steps (paper mode only). "sum" is the
     #: published form (DIEN.py:297-305 sums over T) — which couples the
     #: aux term's effective weight to HISTORY LENGTH: at T=64 the summed
@@ -213,9 +220,18 @@ class DIEN(nn.Module):
             axis=-1,
         )
 
+        from sparrowrecsys_tpu.models.features import compute_dtype
+
+        dt = compute_dtype(self.compute_dtype)
         x = jnp.concatenate([interest, cand, user_profile, context], axis=-1)
-        x = PReLU(name="prelu1")(nn.Dense(128, name="fc1")(x))
-        x = PReLU(name="prelu2")(nn.Dense(64, name="fc2")(x))
+        x = PReLU(name="prelu1")(
+            nn.Dense(self.hidden, dtype=dt, name="fc1")(x).astype(jnp.float32)
+        )
+        x = PReLU(name="prelu2")(
+            nn.Dense(self.hidden // 2, dtype=dt, name="fc2")(x).astype(
+                jnp.float32
+            )
+        )
         logits = nn.Dense(1, name="out")(x)[..., 0]
 
         if self.aux_mode == "none":

@@ -49,6 +49,9 @@ class DIN(nn.Module):
     #: Pallas attention is opt-in via use_pallas=True.
     recent_movies: int = 5
     use_pallas: Optional[bool] = None  # None = measured auto-dispatch
+    #: tower widths fc1=hidden, fc2=hidden//2 (reference 128/64,
+    #: DIN.py:166-172); scalable for production-shape MFU configs.
+    hidden: int = 128
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -115,6 +118,12 @@ class DIN(nn.Module):
 
         dt = compute_dtype(self.compute_dtype)
         x = jnp.concatenate([user_profile, pooled, cand, context], axis=-1)
-        x = PReLU(name="prelu1")(nn.Dense(128, dtype=dt, name="fc1")(x).astype(jnp.float32))
-        x = PReLU(name="prelu2")(nn.Dense(64, dtype=dt, name="fc2")(x).astype(jnp.float32))
+        x = PReLU(name="prelu1")(
+            nn.Dense(self.hidden, dtype=dt, name="fc1")(x).astype(jnp.float32)
+        )
+        x = PReLU(name="prelu2")(
+            nn.Dense(self.hidden // 2, dtype=dt, name="fc2")(x).astype(
+                jnp.float32
+            )
+        )
         return nn.Dense(1, name="out")(x)[..., 0]

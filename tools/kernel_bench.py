@@ -47,17 +47,25 @@ def bench_fm(rows):
     # through the remote tunnel that measured as ~540 ms/call and poisoned
     # one KERNELS.md regeneration. Always time it under jit.
     pallas = jax.jit(fm_cross_pallas)
-    for b, f, d in [(8192, 5, 64), (8192, 32, 128), (32768, 16, 128)]:
+    # Last row set = the round-5 MFU configuration (deepfm_v2 at dim 128,
+    # batch 262144, bf16 towers) — VERDICT r4 #1 demanded the dispatch
+    # defaults be re-decided at the shapes that now exist.
+    for b, f, d, dt in [
+        (8192, 5, 64, "f32"), (8192, 32, 128, "f32"), (32768, 16, 128, "f32"),
+        (262144, 5, 128, "f32"), (262144, 5, 128, "bf16"),
+    ]:
         x = jnp.asarray(
             np.random.default_rng(0).normal(size=(b, f, d)).astype(np.float32)
         )
+        if dt == "bf16":
+            x = x.astype(jnp.bfloat16)
         t_x = timeit(xla, x)
         try:
             t_p = timeit(pallas, x)
             note = ""
         except Exception as e:  # pallas may not support a shape
             t_p, note = float("nan"), f"pallas failed: {type(e).__name__}"
-        rows.append(("fm_cross", f"B={b} F={f} D={d}", t_x, t_p, note))
+        rows.append(("fm_cross", f"B={b} F={f} D={d} {dt}", t_x, t_p, note))
 
 
 def bench_din(rows):
@@ -68,7 +76,13 @@ def bench_din(rows):
 
     xla = jax.jit(din_attention_xla)
     rng = np.random.default_rng(0)
-    for b, t, d, h in [(8192, 5, 10, 32), (4096, 64, 64, 32), (4096, 256, 64, 64)]:
+    # Final rows = the round-5 MFU configuration (DIN at T=64, dim 128,
+    # batch 65536, bf16 history/candidate).
+    for b, t, d, h, dt in [
+        (8192, 5, 10, 32, "f32"), (4096, 64, 64, 32, "f32"),
+        (4096, 256, 64, 64, "f32"),
+        (65536, 64, 128, 32, "f32"), (65536, 64, 128, 32, "bf16"),
+    ]:
         hist = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
         cand = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
         w1 = jnp.asarray(rng.normal(size=(4 * d, h)).astype(np.float32))
@@ -76,6 +90,9 @@ def bench_din(rows):
         alpha = jnp.zeros(h)
         w2 = jnp.asarray(rng.normal(size=(h, 1)).astype(np.float32))
         b2 = jnp.zeros(1)
+        if dt == "bf16":
+            hist = hist.astype(jnp.bfloat16)
+            cand = cand.astype(jnp.bfloat16)
         args = (hist, cand, w1, b1, alpha, w2, b2)
         t_x = timeit(xla, *args)
         try:
@@ -83,7 +100,9 @@ def bench_din(rows):
             note = ""
         except Exception as e:
             t_p, note = float("nan"), f"pallas failed: {type(e).__name__}"
-        rows.append(("din_attention", f"B={b} T={t} D={d} H={h}", t_x, t_p, note))
+        rows.append(
+            ("din_attention", f"B={b} T={t} D={d} H={h} {dt}", t_x, t_p, note)
+        )
 
 
 def main():

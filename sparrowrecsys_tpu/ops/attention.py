@@ -124,21 +124,38 @@ def _din_fused_bwd(res, g):
 _din_attention_fused.defvjp(_din_fused_fwd, _din_fused_bwd)
 
 
+#: Auto-dispatch threshold on B*T*D elements. Measured (tools/
+#: kernel_bench.py, v5e, forced sync, round 5): at the production DIN
+#: shape B=65536 T=64 D=128 (2^29 elements) the fused kernel is 4.5x XLA
+#: (5.25 vs 23.49 ms — XLA re-reads the [B,T,D] history from HBM per
+#: consumer; the kernel reads it once); at 4096x256x64 (2^26) it is
+#: ~1.04x; below that XLA's fusion wins (reference shapes: 0.6x at
+#: 8192x5x10). bf16 inputs are cast to f32 for the kernel (bf16 tiling
+#: unsupported in the kernel; measured: XLA-bf16 16.2 ms still loses to
+#: cast+pallas-f32 5.25 ms at the production shape).
+PALLAS_MIN_ELEMENTS = 1 << 26
+
+
 def din_attention(
     hist, cand, w1, b1, alpha, w2, b2, use_pallas: Optional[bool] = None
 ):
     """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D].
 
     Measured on TPU v5e with forced-sync timing (tools/kernel_bench.py ->
-    KERNELS.md): XLA's fusion wins or ties at every tested shape (751 vs
-    1123 us at T=64; 2775 vs 2728 us at T=256), so XLA is the default and
-    the fused kernel is opt-in (`use_pallas=True`) — it remains the
-    template for shapes where explicit blocking pays. The fused path is
-    differentiable via a custom VJP whose backward autodiffs the XLA
-    formulation (recompute-in-backward).
+    KERNELS.md): XLA's fusion wins at reference/small shapes, but the
+    fused kernel wins decisively once the [B, T, D] history no longer
+    fits cache-friendly re-reads — 4.5x at B=65536 T=64 D=128 (round 5).
+    Auto-dispatch (use_pallas=None) picks the kernel on TPU at
+    B*T*D >= PALLAS_MIN_ELEMENTS; explicit True/False overrides. The
+    fused path is differentiable via a custom VJP whose backward
+    autodiffs the XLA formulation (recompute-in-backward).
     """
     if use_pallas is None:
-        use_pallas = False
+        b, t, d = hist.shape
+        use_pallas = b * t * d >= PALLAS_MIN_ELEMENTS
     if use_pallas and jax.default_backend() == "tpu":
+        if hist.dtype != jnp.float32:
+            hist = hist.astype(jnp.float32)
+            cand = cand.astype(jnp.float32)
         return _din_attention_fused(hist, cand, w1, b1, alpha, w2, b2)
     return din_attention_xla(hist, cand, w1, b1, alpha, w2, b2)

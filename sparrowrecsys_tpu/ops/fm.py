@@ -84,9 +84,15 @@ def fm_cross(fields: jnp.ndarray, use_pallas: Optional[bool] = None) -> jnp.ndar
     D=128 — tools/kernel_bench.py -> KERNELS.md), but inside the full
     DeepFMv2 train step the B>=32768 Pallas dispatch is a 27% REGRESSION
     (6.02 vs 8.23M ex/s at batch 65536, tools/zoo_bench.py + the forced-
-    XLA A/B) — the fwd/bwd pair schedules worse than XLA's fusion. Same
-    verdict as DIN attention (r1): XLA default, Pallas via
-    use_pallas=True for forward-only scans at very large B*F*D.
+    XLA A/B) — the fwd/bwd pair schedules worse than XLA's fusion.
+    Re-decided WITH data at the round-5 production shape (KERNELS.md,
+    B=262144 F=5 D=128): XLA wins the forward outright there too
+    (3.38 vs 4.95 ms f32, 1.74 vs 3.96 ms bf16 — at F=5 the sum-sq
+    identity is one fused pass for XLA; the kernel's tiling only paid at
+    F>=16 mid shapes). XLA stays the default; `use_pallas=True` remains
+    for forward-only scans at mid F*D. Contrast DIN attention, whose
+    dispatch DID flip at production shape (ops/attention.py
+    PALLAS_MIN_ELEMENTS, 4.5x).
     """
     if use_pallas is None:
         use_pallas = False

@@ -124,15 +124,14 @@ def _din_fused_bwd(res, g):
 _din_attention_fused.defvjp(_din_fused_fwd, _din_fused_bwd)
 
 
-#: Auto-dispatch threshold on B*T*D elements. Measured (tools/
-#: kernel_bench.py, v5e, forced sync, round 5): at the production DIN
-#: shape B=65536 T=64 D=128 (2^29 elements) the fused kernel is 4.5x XLA
-#: (5.25 vs 23.49 ms — XLA re-reads the [B,T,D] history from HBM per
-#: consumer; the kernel reads it once); at 4096x256x64 (2^26) it is
-#: ~1.04x; below that XLA's fusion wins (reference shapes: 0.6x at
-#: 8192x5x10). bf16 inputs are cast to f32 for the kernel (bf16 tiling
-#: unsupported in the kernel; measured: XLA-bf16 16.2 ms still loses to
-#: cast+pallas-f32 5.25 ms at the production shape).
+#: Forward-only dispatch threshold on B*T*D elements. Measured (tools/
+#: kernel_bench.py, v5e, forced sync, round 5): standalone FORWARD at
+#: the production DIN shape B=65536 T=64 D=128 (2^29 elements) the fused
+#: kernel is 4.5x XLA (5.25 vs 23.49 ms — XLA re-reads the [B,T,D]
+#: history from HBM per consumer; the kernel reads it once); ~1.04x at
+#: 2^26; below that XLA's fusion wins (reference shapes: 0.6x at
+#: 8192x5x10). bf16 inputs are cast to f32 for the kernel (measured:
+#: XLA-bf16 16.2 ms still loses to cast+pallas-f32 5.25 ms).
 PALLAS_MIN_ELEMENTS = 1 << 26
 
 
@@ -142,17 +141,18 @@ def din_attention(
     """Auto-dispatching DIN activation unit. hist [B,T,D], cand [B,D] -> [B,D].
 
     Measured on TPU v5e with forced-sync timing (tools/kernel_bench.py ->
-    KERNELS.md): XLA's fusion wins at reference/small shapes, but the
-    fused kernel wins decisively once the [B, T, D] history no longer
-    fits cache-friendly re-reads — 4.5x at B=65536 T=64 D=128 (round 5).
-    Auto-dispatch (use_pallas=None) picks the kernel on TPU at
-    B*T*D >= PALLAS_MIN_ELEMENTS; explicit True/False overrides. The
-    fused path is differentiable via a custom VJP whose backward
-    autodiffs the XLA formulation (recompute-in-backward).
+    KERNELS.md): XLA wins at reference/small shapes; the fused kernel's
+    standalone FORWARD wins 4.5x at the production shape (B=65536 T=64
+    D=128, round 5) — but the full TRAIN step with it measured 0.93x
+    (202.8 vs 189.4 ms/step, tools/mfu_zoo.py): the custom VJP's
+    backward recomputes the XLA formulation, which at this shape costs
+    more than the forward win. Same fwd/bwd-pair lesson as fm_cross (r4)
+    and r1. Default therefore stays XLA everywhere; `use_pallas=True`
+    opts in for forward-only paths (inference/eval scoring at
+    B*T*D >= PALLAS_MIN_ELEMENTS), where the 4.5x is real.
     """
     if use_pallas is None:
-        b, t, d = hist.shape
-        use_pallas = b * t * d >= PALLAS_MIN_ELEMENTS
+        use_pallas = False
     if use_pallas and jax.default_backend() == "tpu":
         if hist.dtype != jnp.float32:
             hist = hist.astype(jnp.float32)

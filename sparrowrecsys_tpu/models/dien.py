@@ -149,26 +149,29 @@ class DIEN(nn.Module):
         # gather of the shared table instead of three (see din.py /
         # features.py merged_embed_bias rationale; bitwise identical).
         if self.aux_mode == "none":
-            # No aux heads -> no negative-history columns required (and no
-            # neg gather in the graph).
-            neg_ids = jnp.zeros((hist_ids.shape[0], t - 1), hist_ids.dtype)
+            # No aux heads -> no negative-history columns required AND no
+            # neg gather in the graph at all. (An earlier version gathered
+            # a zero-id [B, T-1] block here; XLA folded it to broadcast
+            # constants but still ALLOCATED them — 9 x 2 GB of zero
+            # [T, B, D] temporaries in the T=64 batch-65536 compile, the
+            # bulk of its 52 GB OOM. Structural skip, like the aux heads.)
+            neg_ids = None
         else:
             neg_ids = jnp.stack(
                 [features[c] for c in negative_cols(t)], axis=-1
             )
         if self.merged_gather:
-            chn = movie_emb(
-                jnp.concatenate(
-                    [features["movieId"][:, None], hist_ids, neg_ids], axis=1
-                )
-            )                                                        # [B, 2T, D]
+            blocks = [features["movieId"][:, None], hist_ids]
+            if neg_ids is not None:
+                blocks.append(neg_ids)
+            chn = movie_emb(jnp.concatenate(blocks, axis=1))         # [B, <=2T, D]
             cand = chn[:, 0]
             hist = chn[:, 1 : t + 1]
-            neg = chn[:, t + 1 :]
+            neg = chn[:, t + 1 :] if neg_ids is not None else None
         else:
             cand = movie_emb(features["movieId"])                    # [B, D]
             hist = movie_emb(hist_ids)                               # [B, T, D]
-            neg = movie_emb(neg_ids)                                 # [B, T-1, D]
+            neg = movie_emb(neg_ids) if neg_ids is not None else None
 
         # Masked GRU: padded steps carry state (Keras mask_zero parity).
         hidden = gru(

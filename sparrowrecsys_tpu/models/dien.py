@@ -109,6 +109,15 @@ class DIEN(nn.Module):
     #: default stays the lax.scan autodiff per the repo's dispatch
     #: convention; the custom path ships tested for revisit at larger H/T.
     recurrence_custom_vjp: bool = False
+    #: rematerialize the GRU/AUGRU scan bodies in the backward pass
+    #: (ops/augru.py remat=True): drops the per-step gate-activation
+    #: residual stacks ([T, B, H] x 6 across both recurrences) at the
+    #: cost of one extra gate evaluation per backward step. The memory
+    #: knob for long-T big-batch configs whose compile otherwise OOMs
+    #: HBM (dien_paper T=64 batch 16384 needed 16.26 G of 15.75 G —
+    #: BASELINE.md zoo-MFU reading 4). Off by default: at reference
+    #: shapes the stacks are tiny and remat only adds recompute.
+    recurrence_remat: bool = False
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -179,6 +188,7 @@ class DIEN(nn.Module):
             hist,
             hist_mask,
             custom_vjp=self.recurrence_custom_vjp,
+            remat=self.recurrence_remat,
         )                                                            # [B, T, D]
 
         # Attention (DIEN.py:184-213): product with repeated candidate ->
@@ -194,7 +204,11 @@ class DIEN(nn.Module):
             h=self._augru_gate("augru_h", d),
         )
         interest = augru(
-            augru_params, hidden, att, custom_vjp=self.recurrence_custom_vjp
+            augru_params,
+            hidden,
+            att,
+            custom_vjp=self.recurrence_custom_vjp,
+            remat=self.recurrence_remat,
         )                                                            # [B, D]
 
         user_profile = jnp.concatenate(

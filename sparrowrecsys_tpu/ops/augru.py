@@ -82,6 +82,32 @@ def _gru_scan(recurrent, gx, mask, h0):
     return hs
 
 
+def _gru_scan_remat(recurrent, gx, mask, h0):
+    """GRU recurrence with a rematerialized scan body: backward recomputes
+    the gate activations per step from (h_prev, gx_t) instead of saving
+    z/r/hh stacked over T. Trades 3 [T, B, H] residual stacks (~1.5 GB at
+    DIEN's batch-16384 T=64 dim-128 production shape) for one extra gate
+    evaluation per backward step — the scan-rematerialization knob for
+    long-T big-batch compiles that otherwise OOM HBM (BASELINE.md
+    zoo-MFU reading 4)."""
+    h_dim = h0.shape[-1]
+
+    @jax.checkpoint
+    def step(h, inp):
+        gates_x, mt = inp
+        xz, xr, xh = jnp.split(gates_x, 3, axis=-1)
+        rz = h @ recurrent[:, : 2 * h_dim]
+        z = jax.nn.sigmoid(xz + rz[:, :h_dim])
+        r = jax.nn.sigmoid(xr + rz[:, h_dim:])
+        hh = jnp.tanh(xh + (r * h) @ recurrent[:, 2 * h_dim :])
+        h_new = jnp.where(mt[:, None], z * h + (1.0 - z) * hh, h)
+        return h_new, h_new
+
+    t = gx.shape[0]
+    _, hs = jax.lax.scan(step, h0, (gx, mask), unroll=min(t, 8))
+    return hs
+
+
 _gru_scan_vjp = jax.custom_vjp(_gru_scan)
 
 
@@ -148,6 +174,7 @@ def gru(
     x: jnp.ndarray,
     mask: jnp.ndarray = None,
     custom_vjp: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """x [B, T, D] -> hidden states [B, T, H] (h0 = zeros).
 
@@ -163,6 +190,11 @@ def gru(
     custom_vjp=True routes the recurrence through the hand-written backward
     (weight grads as one stacked matmul) — measured a wash vs autodiff at
     the bench config, so False is the default; see module docstring.
+
+    remat=True rematerializes the scan body in the backward pass (drops
+    the per-step gate-activation stacks; one extra gate evaluation per
+    backward step) — the memory knob for long-T big-batch training.
+    Mutually exclusive with custom_vjp (which manages its own residuals).
     """
     h_dim = params.recurrent.shape[0]
     b = x.shape[0]
@@ -177,7 +209,13 @@ def gru(
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     h0 = jnp.zeros((b, h_dim), x.dtype)
-    fn = _gru_scan_vjp if custom_vjp else _gru_scan
+    if custom_vjp and remat:
+        raise ValueError("gru: custom_vjp and remat are mutually exclusive")
+    fn = (
+        _gru_scan_vjp
+        if custom_vjp
+        else (_gru_scan_remat if remat else _gru_scan)
+    )
     hs = fn(
         params.recurrent,
         jnp.swapaxes(gates_x_all, 0, 1),
@@ -224,6 +262,28 @@ def _augru_scan_fwd_core(u_rz, u_h, x_all, att, h0):
 
 def _augru_scan(u_rz, u_h, x_all, att, h0):
     h_fin, _ = _augru_scan_fwd_core(u_rz, u_h, x_all, att, h0)
+    return h_fin
+
+
+def _augru_scan_remat(u_rz, u_h, x_all, att, h0):
+    """AUGRU recurrence with a rematerialized scan body (see
+    `_gru_scan_remat`): drops the r/z/h_tilde residual stacks; the carry
+    chain h_prevs is the only [T, B, H] the backward keeps."""
+
+    @jax.checkpoint
+    def step(h, inp):
+        x, at = inp
+        hdim = h.shape[-1]
+        xr, xz, xh = jnp.split(x, 3, axis=-1)
+        rz = h @ u_rz
+        r = jax.nn.sigmoid(xr + rz[:, :hdim])
+        z = jax.nn.sigmoid(xz + rz[:, hdim:])
+        h_tilde = jnp.tanh(xh + (h * z) @ u_h)
+        a = at * r
+        return (1.0 - a) * h + a * h_tilde, None
+
+    t = x_all.shape[0]
+    h_fin, _ = jax.lax.scan(step, h0, (x_all, att), unroll=min(t, 8))
     return h_fin
 
 
@@ -289,6 +349,7 @@ def augru(
     states: jnp.ndarray,
     attention: jnp.ndarray,
     custom_vjp: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """states [B, T, H] (GRU hidden states), attention [B, T, H] -> [B, H].
 
@@ -316,7 +377,13 @@ def augru(
     u_rz = jnp.concatenate([params.r.u, params.z.u], axis=1)  # [H, 2H]
 
     h0 = jnp.zeros((b, hdim), states.dtype)
-    fn = _augru_scan_vjp if custom_vjp else _augru_scan
+    if custom_vjp and remat:
+        raise ValueError("augru: custom_vjp and remat are mutually exclusive")
+    fn = (
+        _augru_scan_vjp
+        if custom_vjp
+        else (_augru_scan_remat if remat else _augru_scan)
+    )
     return fn(
         u_rz,
         params.h.u,

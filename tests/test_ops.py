@@ -374,6 +374,68 @@ class TestRecurrenceCustomVJP:
                 np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
             )
 
+    @pytest.mark.parametrize("with_mask", [False, True])
+    def test_gru_remat_matches_default(self, with_mask):
+        """remat=True recomputes the same per-step math — outputs and grads
+        equal to f32 fusion reassociation (checkpoint changes XLA's fusion
+        groupings, so not bitwise)."""
+        rng = np.random.default_rng(3)
+        b, t, d = 7, 6, 5
+        params = self._gru_params(d, rng)
+        x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        mask = jnp.asarray(rng.random((b, t)) < 0.7) if with_mask else None
+        w = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+
+        def loss(p, xx, rem):
+            return jnp.sum(gru(p, xx, mask, remat=rem) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(gru(params, x, mask, remat=True)),
+            np.asarray(gru(params, x, mask, remat=False)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        gr = jax.grad(loss, argnums=(0, 1))(params, x, True)
+        ga = jax.grad(loss, argnums=(0, 1))(params, x, False)
+        for a, b_ in zip(jax.tree.leaves(gr), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_augru_remat_matches_default(self):
+        rng = np.random.default_rng(4)
+        b, t, d = 7, 6, 5
+        params = self._augru_params(d, rng)
+        states = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+        att = jnp.asarray(rng.random((b, t, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+        def loss(p, s, a, rem):
+            return jnp.sum(augru(p, s, a, remat=rem) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(augru(params, states, att, remat=True)),
+            np.asarray(augru(params, states, att, remat=False)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        gr = jax.grad(loss, argnums=(0, 1, 2))(params, states, att, True)
+        ga = jax.grad(loss, argnums=(0, 1, 2))(params, states, att, False)
+        for a, b_ in zip(jax.tree.leaves(gr), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_remat_and_custom_vjp_exclusive(self):
+        rng = np.random.default_rng(5)
+        params = self._gru_params(4, rng)
+        x = jnp.zeros((2, 3, 4), np.float32)
+        with pytest.raises(ValueError):
+            gru(params, x, custom_vjp=True, remat=True)
+        ap = self._augru_params(4, rng)
+        with pytest.raises(ValueError):
+            augru(ap, x, jnp.ones_like(x), custom_vjp=True, remat=True)
+
     def test_dien_model_grads_match_across_vjp_modes(self):
         """End-to-end: the full DIEN loss gradient is the same (to f32
         reassociation) with the custom recurrence backward on and off."""
@@ -407,23 +469,36 @@ class TestRecurrenceCustomVJP:
         loss_fn = dien_loss_fn()
 
         grads, losses = {}, {}
-        for custom in (True, False):
-            model = DIEN(recurrence_custom_vjp=custom)
+        modes = {
+            "default": {},
+            "custom": {"recurrence_custom_vjp": True},
+            "remat": {"recurrence_remat": True},
+        }
+        for name, kw in modes.items():
+            model = DIEN(**kw)
             params = model.init(jax.random.PRNGKey(0), feats)["params"]
 
             def loss(p):
                 return loss_fn(model.apply, p, feats, labels, msk)[0]
 
-            losses[custom] = float(loss(params))
-            grads[custom] = jax.grad(loss)(params)
+            losses[name] = float(loss(params))
+            grads[name] = jax.grad(loss)(params)
 
-        assert losses[True] == losses[False]
-        for a, b_ in zip(
-            jax.tree.leaves(grads[True]), jax.tree.leaves(grads[False])
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6
-            )
+        for name in ("custom", "remat"):
+            # custom_vjp shares the forward graph exactly; remat's
+            # checkpoint wrapper changes fusion groupings (reassociation).
+            if name == "custom":
+                assert losses[name] == losses["default"]
+            else:
+                np.testing.assert_allclose(
+                    losses[name], losses["default"], rtol=1e-6
+                )
+            for a, b_ in zip(
+                jax.tree.leaves(grads[name]), jax.tree.leaves(grads["default"])
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6
+                )
 
 
 def test_embed_lookup_onehot_forward_exact_at_wide_dims():

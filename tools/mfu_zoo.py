@@ -87,7 +87,8 @@ def gen_epoch(n, user_vocab, movie_vocab, t):
     return gen
 
 
-def model_config(name, dim, hidden, t, user_vocab, movie_vocab, aux):
+def model_config(name, dim, hidden, t, user_vocab, movie_vocab, aux,
+                 remat=False):
     """(model, loss_fn, fwd_flops_per_example, n_hist_cols)."""
     kw = dict(dim=dim, compute_dtype="bfloat16", user_buckets=user_vocab,
               movie_buckets=movie_vocab)
@@ -125,7 +126,8 @@ def model_config(name, dim, hidden, t, user_vocab, movie_vocab, aux):
         return m, None, f, t
     if name == "dien":
         m = build_model(
-            name, hidden=hidden, recent_movies=t, aux_mode=aux, **kw
+            name, hidden=hidden, recent_movies=t, aux_mode=aux,
+            recurrence_remat=remat, **kw
         )
         loss = dien_loss_fn(
             aux_mode=aux, alpha=0.1,
@@ -195,6 +197,10 @@ def main() -> None:
                     "activations at 262144 would blow HBM)")
     ap.add_argument("--user-vocab", type=int, default=1 << 20)
     ap.add_argument("--movie-vocab", type=int, default=1 << 17)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the DIEN GRU/AUGRU scan bodies "
+                    "(drops the [T,B,H] residual stacks; the knob for "
+                    "batches whose compile OOMs HBM)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -215,7 +221,7 @@ def main() -> None:
         )(jax.random.PRNGKey(0))
         model, loss_fn, fwd_f, _ = model_config(
             name, args.dim, args.hidden, t, args.user_vocab,
-            args.movie_vocab, aux,
+            args.movie_vocab, aux, remat=args.remat,
         )
         trainer = Trainer(
             model,

@@ -120,6 +120,12 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-7          # Keras Adam epsilon (TF default), not optax's 1e-8
+    #: storage dtype for the BIG leaves' Adam moments (embedding tables) —
+    #: "bfloat16" halves the dominant optimizer HBM stream (measured
+    #: −2.1 ms/step at the 262144-batch MFU shape, tools/mfu_attrib.py);
+    #: update math and master weights stay fp32. Quality A/B'd before
+    #: use (tools/moment_dtype_ab.py, BASELINE.md); fp32 stays default.
+    big_moment_dtype: str = "float32"
     shuffle_each_epoch: bool = True
     #: "exact" permutes rows (identical statistics to the reference's
     #: full shuffle); "blocks" permutes fixed blocks of `shuffle_block`

@@ -102,6 +102,11 @@ class Trainer:
             b1=self.config.adam_b1,
             b2=self.config.adam_b2,
             eps=self.config.adam_eps,
+            big_moment_dtype=(
+                None
+                if self.config.big_moment_dtype == "float32"
+                else jnp.dtype(self.config.big_moment_dtype)
+            ),
         )
         self._train_step = None
         self._train_step_indexed = None

@@ -42,7 +42,17 @@ def grouped_adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     small_max_elems: int = SMALL_LEAF_MAX_ELEMS,
+    big_moment_dtype=None,
 ) -> optax.GradientTransformation:
+    """big_moment_dtype (e.g. jnp.bfloat16): storage dtype for the BIG
+    leaves' mu/nu — the embedding tables, where the optimizer's HBM bytes
+    live (moment streams measured 4.8 ms of the 262144-batch MFU step;
+    bf16 moments saved 2.1 ms, tools/mfu_attrib.py). Update math stays
+    fp32 (cast up, compute, cast back); params stay fp32 master weights.
+    Small fused leaves always keep fp32 moments — they're dispatch-bound,
+    not bytes-bound, so narrowing them risks quality for nothing.
+    None (default) = fp32 everywhere; quality A/B in BASELINE.md
+    (tools/moment_dtype_ab.py) before flipping any recipe to bf16."""
     def _split_plan(params):
         leaves, treedef = jax.tree_util.tree_flatten(params)
         small, big = [], []
@@ -70,10 +80,14 @@ def grouped_adam(
         _, leaves, small, big, _, _ = _split_plan(params)
         vec, bigs = _to_groups(params, small, big)
         z = lambda x: jnp.zeros_like(x)
+        zb = (
+            (lambda x: jnp.zeros(x.shape, big_moment_dtype))
+            if big_moment_dtype is not None else z
+        )
         return GroupedAdamState(
             count=jnp.zeros((), jnp.int32),
             mu_vec=z(vec), nu_vec=z(vec),
-            mu_big=[z(b) for b in bigs], nu_big=[z(b) for b in bigs],
+            mu_big=[zb(b) for b in bigs], nu_big=[zb(b) for b in bigs],
         )
 
     def update(grads, state, params=None):
@@ -93,7 +107,12 @@ def grouped_adam(
         mu_vec, nu_vec, upd_vec = adam_one(state.mu_vec, state.nu_vec, gvec)
         mu_big, nu_big, upd_big = [], [], []
         for mu, nu, g in zip(state.mu_big, state.nu_big, gbig):
-            m2, n2, u = adam_one(mu, nu, g)
+            m2, n2, u = adam_one(
+                mu.astype(g.dtype), nu.astype(g.dtype), g
+            )
+            if big_moment_dtype is not None:
+                m2 = m2.astype(big_moment_dtype)
+                n2 = n2.astype(big_moment_dtype)
             mu_big.append(m2)
             nu_big.append(n2)
             upd_big.append(u)

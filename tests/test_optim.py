@@ -70,3 +70,63 @@ def test_int_and_mixed_dtype_leaves_stay_per_leaf():
     updates, _ = tx.update(grads, state, params)
     assert updates["f32_small"].dtype == jnp.float32
     assert updates["i32"].shape == (8,)
+
+
+def test_bf16_big_moments_storage_and_quality():
+    """big_moment_dtype=bfloat16: moments for big leaves are STORED bf16
+    (halved bytes), update math stays fp32, and the resulting updates
+    track the fp32 optimizer closely at step 1 (identical up to one
+    bf16 round of mu/nu)."""
+    rng = np.random.default_rng(0)
+    params = {
+        "table": jnp.asarray(
+            rng.normal(size=(70000, 4)).astype(np.float32)
+        ),  # > SMALL_LEAF_MAX_ELEMS -> big leaf
+        "w": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    grads = {
+        "table": jnp.asarray(
+            rng.normal(size=(70000, 4)).astype(np.float32)
+        ),
+        "w": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    tx32 = grouped_adam(1e-3)
+    tx16 = grouped_adam(1e-3, big_moment_dtype=jnp.bfloat16)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.mu_big[0].dtype == jnp.bfloat16
+    assert s16.nu_big[0].dtype == jnp.bfloat16
+    assert s16.mu_vec.dtype == jnp.float32  # small leaves untouched
+    u32, s32 = tx32.update(grads, s32, params)
+    u16, s16 = tx16.update(grads, s16, params)
+    # Step-1 updates are computed from fp32 inputs in both cases —
+    # identical before storage rounding ever feeds back.
+    np.testing.assert_array_equal(
+        np.asarray(u32["table"]), np.asarray(u16["table"])
+    )
+    np.testing.assert_array_equal(np.asarray(u32["w"]), np.asarray(u16["w"]))
+    # Step 2 sees bf16-rounded moments: close, not equal.
+    u32b, _ = tx32.update(grads, s32, params)
+    u16b, _ = tx16.update(grads, s16, params)
+    np.testing.assert_allclose(
+        np.asarray(u32b["table"]), np.asarray(u16b["table"]),
+        rtol=2e-2, atol=2e-5,
+    )
+
+
+def test_trainer_bf16_moments_trains():
+    from sparrowrecsys_tpu.config import TrainConfig
+    from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.training.loop import Trainer
+
+    ds = synthetic_ctr_dataset(512)
+    model = build_model("embedding_mlp")
+    trainer = Trainer(
+        model,
+        TrainConfig(batch_size=128, epochs=3, seed=0,
+                    big_moment_dtype="bfloat16"),
+    )
+    res = trainer.fit(ds, verbose=False)
+    losses = [h["loss"] for h in res.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

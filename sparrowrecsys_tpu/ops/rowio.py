@@ -107,29 +107,44 @@ def rows_gather_pallas(
     )(ids, table)
 
 
-def _write_kernel(block: int, depth: int, ids_ref, table_ref, rows_ref,
-                  out_ref, sems):
+def _write_kernel(block: int, depth: int, v: int, ids_ref, table_ref,
+                  rows_ref, out_ref, sems):
     base = pl.program_id(0) * block
 
+    def valid(j):
+        i = ids_ref[base + j]
+        return (i >= 0) & (i < v)
+
     def dma(j):
+        # Clamp inside the descriptor; the surrounding pl.when already
+        # guarantees in-range — the clamp only keeps the traced address
+        # computation well-defined on the skipped path.
+        i = jnp.clip(ids_ref[base + j], 0, v - 1)
         return pltpu.make_async_copy(
             rows_ref.at[j],
-            out_ref.at[ids_ref[base + j]],
+            out_ref.at[i],
             sems.at[jax.lax.rem(j, depth)],
         )
 
+    def maybe_start(j):
+        @pl.when(valid(j))
+        def _():
+            dma(j).start()
+
     def warm(j, c):
-        dma(j).start()
+        maybe_start(j)
         return c
 
     jax.lax.fori_loop(0, min(depth, block), warm, 0)
 
     def body(j, c):
-        dma(j).wait()
+        @pl.when(valid(j))
+        def _():
+            dma(j).wait()
 
         @pl.when(j + depth < block)
         def _():
-            dma(j + depth).start()
+            maybe_start(j + depth)
 
         return c
 
@@ -144,9 +159,11 @@ def rows_write_pallas(
     depth: int = DMA_DEPTH,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Functional row overwrite: table.at[ids].set(rows) with DISTINCT
-    in-range ids, as one row-sized VMEM->HBM DMA per id against the
+    """Functional row overwrite: table.at[ids].set(rows, mode="drop")
+    with DISTINCT ids, as one row-sized VMEM->HBM DMA per id against the
     DONATED table buffer (input_output_aliases — no [V, D] copy).
+    Out-of-range ids (including the row-optimizer's >= V drop slots) are
+    skipped — XLA "drop" semantics.
 
     The aliasing means the input `table` value is consumed (standard
     jax donation semantics under jit).
@@ -155,9 +172,11 @@ def rows_write_pallas(
     v, d = table.shape
     block = min(block, u)
     if u % block != 0:
-        return table.at[ids].set(rows)
+        return table.at[ids].set(
+            rows, mode="drop", unique_indices=True
+        )
     grid = (u // block,)
-    kernel = functools.partial(_write_kernel, block, depth)
+    kernel = functools.partial(_write_kernel, block, depth, v)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

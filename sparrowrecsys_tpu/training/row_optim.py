@@ -168,11 +168,18 @@ def fused_row_adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-7,
+    rowio: bool = False,
 ) -> FusedRowAdamState:
     """One lazy-Adam step as ONE [U, 3D] gather + ONE [U, 3D] scatter.
 
     Identical math to `row_adam_update` (tested bit-equal); only the
     memory layout differs. grad: [V, D] dense cotangent for the table.
+
+    rowio=True routes the [U, 3D] buffer gather/scatter through the
+    Pallas row-DMA kernels (ops/rowio.py) instead of XLA's tiled
+    gather/scatter — the challenger to the measured ~9 GB/s random-row
+    wall. Same values (the drop slots are skipped by both paths);
+    dispatch verdict in KERNELS.md via tools/pallas_rowio_probe.py.
     """
     v, d3 = state.buf.shape
     d = d3 // 3
@@ -183,17 +190,28 @@ def fused_row_adam_update(
     c1 = 1.0 - b1 ** tf
     c2 = 1.0 - b2 ** tf
 
-    rows = state.buf.at[safe].get(indices_are_sorted=True)  # [U, 3D]
+    if rowio:
+        from sparrowrecsys_tpu.ops.rowio import (
+            rows_gather_pallas, rows_write_pallas,
+        )
+        rows = rows_gather_pallas(state.buf, safe)          # [U, 3D]
+        g = rows_gather_pallas(grad, safe)
+    else:
+        rows = state.buf.at[safe].get(indices_are_sorted=True)
+        g = grad.at[safe].get(indices_are_sorted=True)
     p = rows[:, :d]
     mu_rows = rows[:, d:2 * d]
     nu_rows = rows[:, 2 * d:]
-    g = grad.at[safe].get(indices_are_sorted=True)
     mu_new = b1 * mu_rows + (1.0 - b1) * g
     nu_new = b2 * nu_rows + (1.0 - b2) * (g * g)
     upd = -learning_rate * (mu_new / c1) / (jnp.sqrt(nu_new / c2) + eps)
 
     new_rows = jnp.concatenate([p + upd, mu_new, nu_new], axis=1)
-    buf = state.buf.at[uids].set(
-        new_rows, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    if rowio:
+        buf = rows_write_pallas(state.buf, uids, new_rows)
+    else:
+        buf = state.buf.at[uids].set(
+            new_rows, mode="drop", unique_indices=True,
+            indices_are_sorted=True,
+        )
     return FusedRowAdamState(count=count, buf=buf)

@@ -196,3 +196,36 @@ def test_trainer_sparse_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(full.params),
                     jax.tree_util.tree_leaves(resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_rowio_matches_xla_path():
+    """rowio=True (Pallas row-DMA gather/write, interpret mode) produces
+    the same fused-Adam step as the XLA gather/scatter path, including
+    drop-slot skipping for duplicate/out-of-range ids."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparrowrecsys_tpu.training.row_optim import (
+        fused_row_adam_update,
+        init_fused_row_adam,
+    )
+
+    rng = np.random.default_rng(11)
+    v, d, b = 96, 8, 32
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    grad = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    # duplicates + a negative + an oversized id -> drop slots exercised
+    ids = np.concatenate([
+        rng.integers(0, v, b - 2), [-3], [v + 7]
+    ]).astype(np.int32)
+    ids = jnp.asarray(ids)
+
+    st0 = init_fused_row_adam(table)
+    out_xla = fused_row_adam_update(st0, grad, ids, learning_rate=1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        out_rio = fused_row_adam_update(
+            st0, grad, ids, learning_rate=1e-3, rowio=True
+        )
+    assert int(out_xla.count) == int(out_rio.count)
+    np.testing.assert_allclose(
+        np.asarray(out_xla.buf), np.asarray(out_rio.buf), rtol=1e-6, atol=1e-7
+    )

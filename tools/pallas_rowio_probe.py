@@ -40,6 +40,10 @@ import numpy as np
 
 from sparrowrecsys_tpu.ops.rowio import rows_gather_pallas, rows_write_pallas
 from sparrowrecsys_tpu.training.loop import hard_sync
+from sparrowrecsys_tpu.training.row_optim import (
+    fused_row_adam_update,
+    init_fused_row_adam,
+)
 
 STEPS = 32
 
@@ -127,10 +131,28 @@ def main() -> None:
             return t
         return write_pl
 
+    def make_fused(rowio):
+        @jax.jit
+        def fused(state, grad, ids):
+            def body(st, step_ids):
+                st = fused_row_adam_update(st, grad, step_ids,
+                                           learning_rate=1e-3, rowio=rowio)
+                return st, jnp.float32(0)
+            st, _ = jax.lax.scan(body, state, ids)
+            return st
+        return fused
+
+    grad = jax.random.normal(jax.random.fold_in(key, 5), (v, d), jnp.float32)
     variants = {"gather_xla": lambda: bench(gather_xla, (table, ids),
                                             args.rounds),
                 "write_xla": lambda: bench(write_xla, (table, rows, ids),
-                                           args.rounds)}
+                                           args.rounds),
+                "fused_adam_xla": lambda: bench(
+                    make_fused(False),
+                    (init_fused_row_adam(table), grad, ids), args.rounds),
+                "fused_adam_rowio": lambda: bench(
+                    make_fused(True),
+                    (init_fused_row_adam(table), grad, ids), args.rounds)}
     for dep in depths:
         variants[f"gather_pallas_d{dep}"] = (
             lambda dep=dep: bench(make_gather_pallas(dep), (table, ids),

@@ -78,6 +78,15 @@ def main() -> None:
     # prediction carries signal the terminal label doesn't).
     ap.add_argument("--drift-rho", type=float, default=0.9)
     ap.add_argument("--drift-tau", type=float, default=2.0)
+    ap.add_argument("--dataset-cache", default="",
+                    help="npz path: load the generated dataset from here "
+                    "if present, else generate and save. The drift "
+                    "generator costs ~90 CPU-minutes at 1.3M x T=64 "
+                    "(~84G Gumbel draws) — a 3-run campaign on one "
+                    "dataset should pay it once. The cache stores the "
+                    "raw generator output; the caller owns keying it to "
+                    "the generator config (the campaign scripts bake "
+                    "the config into the filename).")
     args = ap.parse_args()
 
     import jax
@@ -102,21 +111,38 @@ def main() -> None:
         te_f, te_l = ds.slice(np.arange(args.n, total))
         return EncodedDataset(tr_f, tr_l), EncodedDataset(te_f, te_l)
 
+    def gen_or_cache(gen):
+        cache = args.dataset_cache
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            oracle = z["__oracle__"]
+            labels = z["__labels__"]
+            feats = {k: z[k] for k in z.files
+                     if not k.startswith("__")}
+            print(f"dataset cache hit: {cache}", flush=True)
+            return EncodedDataset(feats, labels), oracle
+        full, oracle = gen()
+        if cache:
+            np.savez(cache, __oracle__=oracle, __labels__=full.labels,
+                     **full.features)
+            print(f"dataset cache written: {cache}", flush=True)
+        return full, oracle
+
     results = {}
     for dname in args.datasets.split(","):
         if dname in ("sequence", "drift"):
             if dname == "drift":
-                full, oracle = drift_ctr_with_oracle(
+                full, oracle = gen_or_cache(lambda: drift_ctr_with_oracle(
                     total, seed=7, t=args.t, compat_dim=args.compat_dim,
                     gain=args.gain, drift_rho=args.drift_rho,
                     tau=args.drift_tau,
-                )
+                ))
             else:
-                full, oracle = sequence_ctr_with_oracle(
+                full, oracle = gen_or_cache(lambda: sequence_ctr_with_oracle(
                     total, seed=7, t=args.t, compat_dim=args.compat_dim,
                     gain=args.gain, recency=args.recency,
                     markov_tau=args.markov_tau,
-                )
+                ))
             train_ds, test_ds = split(full)
             o = exact_auc(1 / (1 + np.exp(-oracle[args.n:])), test_ds.labels)
             oracle_auc = o["roc_auc"]

@@ -43,32 +43,62 @@ from jax.experimental.pallas import tpu as pltpu
 DMA_DEPTH = 8
 
 
-def _gather_kernel(block: int, depth: int, ids_ref, table_ref, out_ref, sems):
+def _gather_kernel(block: int, depth: int, parts: int, unroll: int,
+                   ids_ref, table_ref, out_ref, sems):
     base = pl.program_id(0) * block
 
-    def dma(j):
-        return pltpu.make_async_copy(
-            table_ref.at[ids_ref[base + j]],
-            out_ref.at[j],
-            sems.at[jax.lax.rem(j, depth)],
-        )
+    def dmas(j):
+        # Multi-tile rows (D > 128 lanes) go as one DMA per 128-lane
+        # chunk: Mosaic rejects a 1-row slice of a multi-lane-tile memref
+        # ("slice along dim 0 must be aligned to tiling (8)"), but the
+        # single-tile (1, 128) slice path compiles — chunking keeps every
+        # descriptor on that path. Measured in tools/pallas_rowio_probe.py.
+        slot = jax.lax.rem(j, depth)
+        i = ids_ref[base + j]
+        if parts == 1:
+            return [pltpu.make_async_copy(
+                table_ref.at[i], out_ref.at[j], sems.at[slot, 0]
+            )]
+        lane = out_ref.shape[-1] // parts
+        return [
+            pltpu.make_async_copy(
+                table_ref.at[i, pl.ds(p * lane, lane)],
+                out_ref.at[j, pl.ds(p * lane, lane)],
+                sems.at[slot, p],
+            )
+            for p in range(parts)
+        ]
 
     def warm(j, c):
-        dma(j).start()
+        for d in dmas(j):
+            d.start()
         return c
 
-    jax.lax.fori_loop(0, min(depth, block), warm, 0)
+    jax.lax.fori_loop(0, min(depth, block), warm, 0, unroll=1)
 
     def body(j, c):
-        dma(j).wait()
+        for d in dmas(j):
+            d.wait()
 
         @pl.when(j + depth < block)
         def _():
-            dma(j + depth).start()
+            for d in dmas(j + depth):
+                d.start()
 
         return c
 
-    jax.lax.fori_loop(0, block, body, 0)
+    jax.lax.fori_loop(0, block, body, 0, unroll=unroll)
+
+
+def _row_parts(d: int, dtype) -> int:
+    """DMA chunks per row: 1 while the row fits one (8, 128) lane tile,
+    else one per 128-lane chunk (Mosaic's 1-row-slice limit, see
+    _gather_kernel). Rows that aren't a multiple of the tile width fall
+    back to XLA at the dispatch level."""
+    lanes = 128
+    if d <= lanes:
+        return 1
+    return d // lanes if d % lanes == 0 else 0
 
 
 def rows_gather_pallas(
@@ -76,21 +106,24 @@ def rows_gather_pallas(
     ids: jnp.ndarray,
     block: int = 512,
     depth: int = DMA_DEPTH,
+    unroll: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """table [V, D], ids [U] int32 in-range -> [U, D] = table[ids].
 
-    One row-sized HBM->VMEM DMA per id, DEPTH in flight. Caller
-    guarantees ids are in [0, V) — there is no OOV clamp at this level
-    (ops/embedding.py's public lookups own masking semantics).
+    One row-sized HBM->VMEM DMA per id (per 128-lane chunk for wide
+    rows), DEPTH in flight. Caller guarantees ids are in [0, V) — there
+    is no OOV clamp at this level (ops/embedding.py's public lookups own
+    masking semantics).
     """
     u = ids.shape[0]
     v, d = table.shape
     block = min(block, u)
-    if u % block != 0:
+    parts = _row_parts(d, table.dtype)
+    if u % block != 0 or parts == 0:
         return jnp.take(table, ids, axis=0)
     grid = (u // block,)
-    kernel = functools.partial(_gather_kernel, block, depth)
+    kernel = functools.partial(_gather_kernel, block, depth, parts, unroll)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -100,47 +133,59 @@ def rows_gather_pallas(
             out_specs=pl.BlockSpec(
                 (block, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((depth, parts))],
         ),
         out_shape=jax.ShapeDtypeStruct((u, d), table.dtype),
         interpret=interpret,
     )(ids, table)
 
 
-def _write_kernel(block: int, depth: int, v: int, ids_ref, table_ref,
-                  rows_ref, out_ref, sems):
+def _write_kernel(block: int, depth: int, v: int, parts: int, unroll: int,
+                  ids_ref, table_ref, rows_ref, out_ref, sems):
     base = pl.program_id(0) * block
 
     def valid(j):
         i = ids_ref[base + j]
         return (i >= 0) & (i < v)
 
-    def dma(j):
+    def dmas(j):
         # Clamp inside the descriptor; the surrounding pl.when already
         # guarantees in-range — the clamp only keeps the traced address
-        # computation well-defined on the skipped path.
+        # computation well-defined on the skipped path. Wide rows chunk
+        # per 128-lane tile (see _gather_kernel).
+        slot = jax.lax.rem(j, depth)
         i = jnp.clip(ids_ref[base + j], 0, v - 1)
-        return pltpu.make_async_copy(
-            rows_ref.at[j],
-            out_ref.at[i],
-            sems.at[jax.lax.rem(j, depth)],
-        )
+        if parts == 1:
+            return [pltpu.make_async_copy(
+                rows_ref.at[j], out_ref.at[i], sems.at[slot, 0]
+            )]
+        lane = rows_ref.shape[-1] // parts
+        return [
+            pltpu.make_async_copy(
+                rows_ref.at[j, pl.ds(p * lane, lane)],
+                out_ref.at[i, pl.ds(p * lane, lane)],
+                sems.at[slot, p],
+            )
+            for p in range(parts)
+        ]
 
     def maybe_start(j):
         @pl.when(valid(j))
         def _():
-            dma(j).start()
+            for d in dmas(j):
+                d.start()
 
     def warm(j, c):
         maybe_start(j)
         return c
 
-    jax.lax.fori_loop(0, min(depth, block), warm, 0)
+    jax.lax.fori_loop(0, min(depth, block), warm, 0, unroll=1)
 
     def body(j, c):
         @pl.when(valid(j))
         def _():
-            dma(j).wait()
+            for d in dmas(j):
+                d.wait()
 
         @pl.when(j + depth < block)
         def _():
@@ -148,7 +193,7 @@ def _write_kernel(block: int, depth: int, v: int, ids_ref, table_ref,
 
         return c
 
-    jax.lax.fori_loop(0, block, body, 0)
+    jax.lax.fori_loop(0, block, body, 0, unroll=unroll)
 
 
 def rows_write_pallas(
@@ -157,6 +202,7 @@ def rows_write_pallas(
     rows: jnp.ndarray,
     block: int = 512,
     depth: int = DMA_DEPTH,
+    unroll: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Functional row overwrite: table.at[ids].set(rows, mode="drop")
@@ -171,12 +217,13 @@ def rows_write_pallas(
     u = ids.shape[0]
     v, d = table.shape
     block = min(block, u)
-    if u % block != 0:
+    parts = _row_parts(d, table.dtype)
+    if u % block != 0 or parts == 0:
         return table.at[ids].set(
             rows, mode="drop", unique_indices=True
         )
     grid = (u // block,)
-    kernel = functools.partial(_write_kernel, block, depth, v)
+    kernel = functools.partial(_write_kernel, block, depth, v, parts, unroll)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -190,7 +237,7 @@ def rows_write_pallas(
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((depth, parts))],
         ),
         out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
         input_output_aliases={1: 0},

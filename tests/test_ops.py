@@ -603,3 +603,29 @@ class TestRowIO:
         ref = np.asarray(table).copy()
         ref[np.asarray(ids)] = np.asarray(rows)
         np.testing.assert_array_equal(np.asarray(out2), ref)
+
+    def test_wide_rows_chunk_per_lane_tile(self):
+        """D > 128 rows (e.g. the fused [V, 3D] optimizer buffer) go as
+        one DMA per 128-lane chunk — Mosaic rejects 1-row slices of
+        multi-lane-tile memrefs (measured on v5e, pallas_rowio_probe)."""
+        g, w, table, ids, rows = self._setup(d=384)
+        out = g(table, ids, block=32, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(table)[np.asarray(ids)]
+        )
+        out2 = w(table, ids, rows, block=32, interpret=True)
+        ref = np.asarray(table).copy()
+        ref[np.asarray(ids)] = np.asarray(rows)
+        np.testing.assert_array_equal(np.asarray(out2), ref)
+
+    def test_unaligned_wide_rows_fall_back(self):
+        from sparrowrecsys_tpu.ops.rowio import _row_parts
+
+        assert _row_parts(128, np.float32) == 1
+        assert _row_parts(384, np.float32) == 3
+        assert _row_parts(200, np.float32) == 0  # not a tile multiple
+        g, w, table, ids, rows = self._setup(d=200)
+        out = g(table, ids, block=32, interpret=True)  # XLA fallback
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(table)[np.asarray(ids)]
+        )

@@ -32,7 +32,7 @@ RNG, replacing the pandas/random hack at DIEN.py:31-49.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -112,12 +112,16 @@ class DIEN(nn.Module):
     #: rematerialize the GRU/AUGRU scan bodies in the backward pass
     #: (ops/augru.py remat=True): drops the per-step gate-activation
     #: residual stacks ([T, B, H] x 6 across both recurrences) at the
-    #: cost of one extra gate evaluation per backward step. The memory
-    #: knob for long-T big-batch configs whose compile otherwise OOMs
-    #: HBM (dien_paper T=64 batch 16384 needed 16.26 G of 15.75 G —
-    #: BASELINE.md zoo-MFU reading 4). Off by default: at reference
-    #: shapes the stacks are tiny and remat only adds recompute.
-    recurrence_remat: bool = False
+    #: cost of one extra gate evaluation per backward step. Measured on
+    #: v5e at the production shape (dim 128, batch 16384, T=64): BOTH
+    #: the memory unlock (dien_paper compiled at a batch that OOMed:
+    #: 16.26 G needed of 15.75 G) AND 1.37x faster (aux-none 207 vs
+    #: 285 ms/step — the dropped stacks were HBM traffic). None = auto:
+    #: on at T >= 64 (the measured shape), off below it (reference
+    #: shapes T=5: stacks are tiny, remat only adds recompute;
+    #: T in [16, 64) unmeasured — set explicitly to override).
+    #: BASELINE.md round-5 DIEN memory section.
+    recurrence_remat: Optional[bool] = None
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -153,6 +157,11 @@ class DIEN(nn.Module):
         )
         t = self.recent_movies
         hist_ids = history_stack(features, t)                       # [B, T]
+        remat = (
+            self.recurrence_remat
+            if self.recurrence_remat is not None
+            else t >= 64
+        )
         hist_mask = hist_ids > 0
         # Candidate + history + negative history can ride ONE [B, 2T]
         # gather of the shared table instead of three (see din.py /
@@ -160,10 +169,13 @@ class DIEN(nn.Module):
         if self.aux_mode == "none":
             # No aux heads -> no negative-history columns required AND no
             # neg gather in the graph at all. (An earlier version gathered
-            # a zero-id [B, T-1] block here; XLA folded it to broadcast
-            # constants but still ALLOCATED them — 9 x 2 GB of zero
-            # [T, B, D] temporaries in the T=64 batch-65536 compile, the
-            # bulk of its 52 GB OOM. Structural skip, like the aux heads.)
+            # a zero-id [B, T-1] block here and let XLA fold it; the
+            # zero-broadcast buffers seen in the batch-65536 OOM dump were
+            # initially blamed on it, but the A/B REFUTED that: the skip
+            # changed the 52.3 GB HLO-temp requirement by ~nothing — the
+            # memory is recurrence-backward residual stacks (remat saves
+            # 21 GB, BASELINE.md round-5 DIEN memory section). The skip
+            # stays as the structurally right graph: no dead gather.)
             neg_ids = None
         else:
             neg_ids = jnp.stack(
@@ -188,7 +200,7 @@ class DIEN(nn.Module):
             hist,
             hist_mask,
             custom_vjp=self.recurrence_custom_vjp,
-            remat=self.recurrence_remat,
+            remat=remat,
         )                                                            # [B, T, D]
 
         # Attention (DIEN.py:184-213): product with repeated candidate ->
@@ -208,7 +220,7 @@ class DIEN(nn.Module):
             hidden,
             att,
             custom_vjp=self.recurrence_custom_vjp,
-            remat=self.recurrence_remat,
+            remat=remat,
         )                                                            # [B, D]
 
         user_profile = jnp.concatenate(

@@ -43,6 +43,31 @@ from jax.experimental.pallas import tpu as pltpu
 DMA_DEPTH = 8
 
 
+def _rolling_pipeline(block, depth, unroll, start, wait):
+    """DEPTH-deep rolling DMA pipeline over `block` rows with MANUAL
+    partial unroll: Mosaic's fori_loop lowering only supports
+    unroll=1 or full unroll, so the unroll factor becomes a static
+    Python loop inside the body (amortizing the per-iteration scalar
+    work — the suspected ~54 ns/row issue cost, pallas_rowio_probe)."""
+    for j in range(min(depth, block)):      # static warmup
+        start(j)
+    n_un = unroll if (unroll > 0 and block % unroll == 0) else 1
+
+    def body(it, c):
+        j0 = it * n_un
+        for k in range(n_un):               # static: unrolled in trace
+            j = j0 + k
+            wait(j)
+
+            @pl.when(j + depth < block)
+            def _():
+                start(j + depth)
+
+        return c
+
+    jax.lax.fori_loop(0, block // n_un, body, 0)
+
+
 def _gather_kernel(block: int, depth: int, parts: int, unroll: int,
                    ids_ref, table_ref, out_ref, sems):
     base = pl.program_id(0) * block
@@ -53,7 +78,7 @@ def _gather_kernel(block: int, depth: int, parts: int, unroll: int,
         # ("slice along dim 0 must be aligned to tiling (8)"), but the
         # single-tile (1, 128) slice path compiles — chunking keeps every
         # descriptor on that path. Measured in tools/pallas_rowio_probe.py.
-        slot = jax.lax.rem(j, depth)
+        slot = j % depth
         i = ids_ref[base + j]
         if parts == 1:
             return [pltpu.make_async_copy(
@@ -69,25 +94,15 @@ def _gather_kernel(block: int, depth: int, parts: int, unroll: int,
             for p in range(parts)
         ]
 
-    def warm(j, c):
+    def start(j):
         for d in dmas(j):
             d.start()
-        return c
 
-    jax.lax.fori_loop(0, min(depth, block), warm, 0, unroll=1)
-
-    def body(j, c):
+    def wait(j):
         for d in dmas(j):
             d.wait()
 
-        @pl.when(j + depth < block)
-        def _():
-            for d in dmas(j + depth):
-                d.start()
-
-        return c
-
-    jax.lax.fori_loop(0, block, body, 0, unroll=unroll)
+    _rolling_pipeline(block, depth, unroll, start, wait)
 
 
 def _row_parts(d: int, dtype) -> int:
@@ -153,7 +168,7 @@ def _write_kernel(block: int, depth: int, v: int, parts: int, unroll: int,
         # guarantees in-range — the clamp only keeps the traced address
         # computation well-defined on the skipped path. Wide rows chunk
         # per 128-lane tile (see _gather_kernel).
-        slot = jax.lax.rem(j, depth)
+        slot = j % depth
         i = jnp.clip(ids_ref[base + j], 0, v - 1)
         if parts == 1:
             return [pltpu.make_async_copy(
@@ -169,31 +184,19 @@ def _write_kernel(block: int, depth: int, v: int, parts: int, unroll: int,
             for p in range(parts)
         ]
 
-    def maybe_start(j):
+    def start(j):
         @pl.when(valid(j))
         def _():
             for d in dmas(j):
                 d.start()
 
-    def warm(j, c):
-        maybe_start(j)
-        return c
-
-    jax.lax.fori_loop(0, min(depth, block), warm, 0, unroll=1)
-
-    def body(j, c):
+    def wait(j):
         @pl.when(valid(j))
         def _():
             for d in dmas(j):
                 d.wait()
 
-        @pl.when(j + depth < block)
-        def _():
-            maybe_start(j + depth)
-
-        return c
-
-    jax.lax.fori_loop(0, block, body, 0, unroll=unroll)
+    _rolling_pipeline(block, depth, unroll, start, wait)
 
 
 def rows_write_pallas(

@@ -120,6 +120,11 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-7          # Keras Adam epsilon (TF default), not optax's 1e-8
+    #: route the row-sparse (lazy) Adam's [U, 3D] gather/scatter through
+    #: the Pallas row-DMA kernels (ops/rowio.py) instead of XLA's tiled
+    #: gather/scatter. Only meaningful with Trainer(sparse_tables=...);
+    #: dispatch verdict in KERNELS.md (tools/pallas_rowio_probe.py).
+    sparse_rowio: bool = False
     #: storage dtype for the BIG leaves' Adam moments (embedding tables) —
     #: "bfloat16" halves the dominant optimizer HBM stream (measured
     #: −2.1 ms/step at the 262144-batch MFU shape, tools/mfu_attrib.py);

@@ -391,6 +391,7 @@ class Trainer:
                         rows_in[mod], gt[mod], ids,
                         learning_rate=cfg.learning_rate, b1=cfg.adam_b1,
                         b2=cfg.adam_b2, eps=cfg.adam_eps,
+                        rowio=cfg.sparse_rowio,
                     )
                 opt_state = {"dense": dstate, "rows": rows}
             else:

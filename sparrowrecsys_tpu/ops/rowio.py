@@ -7,22 +7,29 @@ reference delegates to parameter servers / Redis row ops
 `src/main/java/.../RedisClient.java` row writes): random row access
 against a device-resident [V, D] table.
 
-Why a kernel can exist at all: XLA's gather/scatter on TPU operate at
-(8, 128)-tile granularity — a 512 B f32 row READ drags its full 4 KB
-tile through the pipeline, and a row WRITE is a read-modify-write of
-that tile. The round-4 probe (tools/row_optim_probe.py, BASELINE.md)
-measured the resulting wall: ~9 GB/s effective scatter bandwidth,
-independent of row width (512 B vs 1536 B rows — same bytes/s), with
-index hints on. ~8-16x of that gap is tile amplification, which a
-row-granular DMA does not pay: `make_async_copy(table.at[id], out.at[j])`
-moves exactly one row (one sublane), and a DEPTH-deep rolling pipeline
-keeps that many row DMAs in flight to hide HBM latency.
+Built to challenge the measured random-row wall (round-4 probe: ~9 GB/s
+effective scatter bandwidth, independent of row width, hints on) on the
+hypothesis that XLA's (8, 128)-tile granularity amplified the traffic.
+The challenge RAN and the hypothesis was REFUTED (v5e, KERNELS.md
+round-5 rowio section): row-granular 512 B DMAs hit the same ~10 GB/s
+write plateau at any pipeline depth (8/16/32) and any scalar-loop
+unroll — the random-row WRITE path is bytes-bound at ~10 GB/s as a
+platform property, measured from two independent engines. Reads are
+not the wall at all: XLA's batched gather (24-26 GB/s of rows) beats
+per-row DMAs at every depth.
 
-The competing bound this kernel exposes instead: DMA-descriptor issue
-rate — one descriptor per row, issued sequentially by the scalar core.
-`tools/pallas_rowio_probe.py` measures which bound wins at the
-row-optimizer shape; KERNELS.md records the verdict (the repo's
-measure-before-default convention).
+What survives as shippable: `rows_write_pallas` is a measured 1.25-1.3x
+win over XLA's scatter-set at the row-optimizer shape (3.35-3.53 vs
+4.31-4.38 ms for 65536 x 512 B rows) — `TrainConfig.sparse_rowio` opts
+the lazy-Adam write into it; XLA stays the default (the win does not
+move the optimizer total, which is write-wall-bound either way).
+
+Mosaic limits (recorded, they shape the API): a 1-row slice is only
+supported for memrefs whose row is EXACTLY one 128-lane tile — wider
+rows fail even chunked to (1, 128), narrower rows fail as sub-tile
+slices — so these kernels serve [V, 128-wide] f32 tables and fall back
+to XLA elsewhere; fori_loop lowering supports only unroll 1 or full
+(the pipeline does manual partial unroll).
 
 `rows_write` requires DISTINCT ids (the row-optimizer contract after its
 unique step — training/row_optim.py makes them genuinely distinct); with

@@ -78,6 +78,14 @@ def main() -> None:
     # prediction carries signal the terminal label doesn't).
     ap.add_argument("--drift-rho", type=float, default=0.9)
     ap.add_argument("--drift-tau", type=float, default=2.0)
+    ap.add_argument("--dien-remat", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="DIEN recurrence remat: 'auto' is the model "
+                    "default (on at T >= 64 since round 5 — changes f32 "
+                    "fusion reassociation, so AUC-equivalent but not "
+                    "bit-equal to pre-remat runs); 'off' pins the "
+                    "pre-round-5 graph for bit-reproduction protocols "
+                    "(tools/seed_harden.py pins it).")
     ap.add_argument("--dataset-cache", default="",
                     help="npz path: load the generated dataset from here "
                     "if present, else generate and save. The drift "
@@ -169,6 +177,9 @@ def main() -> None:
                     model = model.copy(
                         aux_mode=args.dien_aux, alpha=args.dien_alpha,
                         aux_norm=args.dien_aux_norm,
+                        recurrence_remat={
+                            "auto": None, "on": True, "off": False
+                        }[args.dien_remat],
                     )
                     loss_fn = dien_loss_fn(
                         alpha=args.dien_alpha, aux_mode=args.dien_aux
@@ -211,6 +222,7 @@ def main() -> None:
                     "dien_aux": args.dien_aux,
                     "dien_alpha": args.dien_alpha,
                     "dien_aux_norm": args.dien_aux_norm,
+                    "dien_remat": args.dien_remat,
                     "drift_rho": args.drift_rho,
                     "drift_tau": args.drift_tau,
                     "models": args.models,

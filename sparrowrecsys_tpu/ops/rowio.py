@@ -75,52 +75,30 @@ def _rolling_pipeline(block, depth, unroll, start, wait):
     jax.lax.fori_loop(0, block // n_un, body, 0)
 
 
-def _gather_kernel(block: int, depth: int, parts: int, unroll: int,
+def _gather_kernel(block: int, depth: int, unroll: int,
                    ids_ref, table_ref, out_ref, sems):
     base = pl.program_id(0) * block
 
-    def dmas(j):
-        # Multi-tile rows (D > 128 lanes) go as one DMA per 128-lane
-        # chunk: Mosaic rejects a 1-row slice of a multi-lane-tile memref
-        # ("slice along dim 0 must be aligned to tiling (8)"), but the
-        # single-tile (1, 128) slice path compiles — chunking keeps every
-        # descriptor on that path. Measured in tools/pallas_rowio_probe.py.
-        slot = j % depth
-        i = ids_ref[base + j]
-        if parts == 1:
-            return [pltpu.make_async_copy(
-                table_ref.at[i], out_ref.at[j], sems.at[slot, 0]
-            )]
-        lane = out_ref.shape[-1] // parts
-        return [
-            pltpu.make_async_copy(
-                table_ref.at[i, pl.ds(p * lane, lane)],
-                out_ref.at[j, pl.ds(p * lane, lane)],
-                sems.at[slot, p],
-            )
-            for p in range(parts)
-        ]
+    def dma(j):
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[base + j]],
+            out_ref.at[j],
+            sems.at[j % depth],
+        )
 
-    def start(j):
-        for d in dmas(j):
-            d.start()
-
-    def wait(j):
-        for d in dmas(j):
-            d.wait()
-
-    _rolling_pipeline(block, depth, unroll, start, wait)
+    _rolling_pipeline(block, depth, unroll,
+                      lambda j: dma(j).start(), lambda j: dma(j).wait())
 
 
-def _row_parts(d: int, dtype) -> int:
-    """DMA chunks per row: 1 while the row fits one (8, 128) lane tile,
-    else one per 128-lane chunk (Mosaic's 1-row-slice limit, see
-    _gather_kernel). Rows that aren't a multiple of the tile width fall
-    back to XLA at the dispatch level."""
-    lanes = 128
-    if d <= lanes:
-        return 1
-    return d // lanes if d % lanes == 0 else 0
+def _rowio_supported(d: int, dtype) -> bool:
+    """Mosaic (this version, measured on v5e) only compiles a 1-row
+    memref slice when the row is EXACTLY one f32 lane tile: [*, 128]
+    f32. Wider rows fail even chunked to (1, 128); narrower rows fail
+    as sub-tile slices; bf16 (a (16, 128) tile) is unmeasured on
+    hardware and stays gated. Everything else falls back to XLA at the
+    dispatch level — which is also the measured-right answer for
+    gathers at any shape (KERNELS.md rowio section)."""
+    return d == 128 and jnp.dtype(dtype) == jnp.float32
 
 
 def rows_gather_pallas(
@@ -133,19 +111,19 @@ def rows_gather_pallas(
 ) -> jnp.ndarray:
     """table [V, D], ids [U] int32 in-range -> [U, D] = table[ids].
 
-    One row-sized HBM->VMEM DMA per id (per 128-lane chunk for wide
-    rows), DEPTH in flight. Caller guarantees ids are in [0, V) — there
-    is no OOV clamp at this level (ops/embedding.py's public lookups own
-    masking semantics).
+    One row-sized HBM->VMEM DMA per id, DEPTH in flight; non-[*, 128]
+    f32 tables fall back to XLA (see _rowio_supported — and XLA's
+    batched gather is the measured-faster choice anyway). Caller
+    guarantees ids are in [0, V) — there is no OOV clamp at this level
+    (ops/embedding.py's public lookups own masking semantics).
     """
     u = ids.shape[0]
     v, d = table.shape
     block = min(block, u)
-    parts = _row_parts(d, table.dtype)
-    if u % block != 0 or parts == 0:
+    if u % block != 0 or not _rowio_supported(d, table.dtype):
         return jnp.take(table, ids, axis=0)
     grid = (u // block,)
-    kernel = functools.partial(_gather_kernel, block, depth, parts, unroll)
+    kernel = functools.partial(_gather_kernel, block, depth, unroll)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -155,14 +133,14 @@ def rows_gather_pallas(
             out_specs=pl.BlockSpec(
                 (block, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((depth, parts))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
         ),
         out_shape=jax.ShapeDtypeStruct((u, d), table.dtype),
         interpret=interpret,
     )(ids, table)
 
 
-def _write_kernel(block: int, depth: int, v: int, parts: int, unroll: int,
+def _write_kernel(block: int, depth: int, v: int, unroll: int,
                   ids_ref, table_ref, rows_ref, out_ref, sems):
     base = pl.program_id(0) * block
 
@@ -170,38 +148,24 @@ def _write_kernel(block: int, depth: int, v: int, parts: int, unroll: int,
         i = ids_ref[base + j]
         return (i >= 0) & (i < v)
 
-    def dmas(j):
+    def dma(j):
         # Clamp inside the descriptor; the surrounding pl.when already
         # guarantees in-range — the clamp only keeps the traced address
-        # computation well-defined on the skipped path. Wide rows chunk
-        # per 128-lane tile (see _gather_kernel).
-        slot = j % depth
+        # computation well-defined on the skipped path.
         i = jnp.clip(ids_ref[base + j], 0, v - 1)
-        if parts == 1:
-            return [pltpu.make_async_copy(
-                rows_ref.at[j], out_ref.at[i], sems.at[slot, 0]
-            )]
-        lane = rows_ref.shape[-1] // parts
-        return [
-            pltpu.make_async_copy(
-                rows_ref.at[j, pl.ds(p * lane, lane)],
-                out_ref.at[i, pl.ds(p * lane, lane)],
-                sems.at[slot, p],
-            )
-            for p in range(parts)
-        ]
+        return pltpu.make_async_copy(
+            rows_ref.at[j], out_ref.at[i], sems.at[j % depth]
+        )
 
     def start(j):
         @pl.when(valid(j))
         def _():
-            for d in dmas(j):
-                d.start()
+            dma(j).start()
 
     def wait(j):
         @pl.when(valid(j))
         def _():
-            for d in dmas(j):
-                d.wait()
+            dma(j).wait()
 
     _rolling_pipeline(block, depth, unroll, start, wait)
 
@@ -227,13 +191,12 @@ def rows_write_pallas(
     u = ids.shape[0]
     v, d = table.shape
     block = min(block, u)
-    parts = _row_parts(d, table.dtype)
-    if u % block != 0 or parts == 0:
+    if u % block != 0 or not _rowio_supported(d, table.dtype):
         return table.at[ids].set(
             rows, mode="drop", unique_indices=True
         )
     grid = (u // block,)
-    kernel = functools.partial(_write_kernel, block, depth, v, parts, unroll)
+    kernel = functools.partial(_write_kernel, block, depth, v, unroll)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -247,7 +210,7 @@ def rows_write_pallas(
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((depth, parts))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
         ),
         out_shape=jax.ShapeDtypeStruct((v, d), table.dtype),
         input_output_aliases={1: 0},

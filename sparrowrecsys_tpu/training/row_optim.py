@@ -175,11 +175,15 @@ def fused_row_adam_update(
     Identical math to `row_adam_update` (tested bit-equal); only the
     memory layout differs. grad: [V, D] dense cotangent for the table.
 
-    rowio=True routes the [U, 3D] buffer gather/scatter through the
-    Pallas row-DMA kernels (ops/rowio.py) instead of XLA's tiled
-    gather/scatter — the challenger to the measured ~9 GB/s random-row
-    wall. Same values (the drop slots are skipped by both paths);
-    dispatch verdict in KERNELS.md via tools/pallas_rowio_probe.py.
+    rowio=True routes the [U, 3D] row WRITE through the Pallas row-DMA
+    kernel (ops/rowio.py rows_write_pallas — the measured 1.25x write
+    option); gathers stay XLA, which the probe measured strictly faster
+    (24-26 GB/s of rows). Same values either way (drop slots are
+    skipped by both write paths). NOTE the kernel's measured support is
+    f32 [*, 128] rows — at other widths (including this fused buffer's
+    3D when D != 128/3) rows_write_pallas silently falls back to the
+    XLA scatter, so the flag is safe but a no-op there; KERNELS.md
+    rowio section has the verdict and the wall analysis.
     """
     v, d3 = state.buf.shape
     d = d3 // 3
@@ -190,15 +194,8 @@ def fused_row_adam_update(
     c1 = 1.0 - b1 ** tf
     c2 = 1.0 - b2 ** tf
 
-    if rowio:
-        from sparrowrecsys_tpu.ops.rowio import (
-            rows_gather_pallas, rows_write_pallas,
-        )
-        rows = rows_gather_pallas(state.buf, safe)          # [U, 3D]
-        g = rows_gather_pallas(grad, safe)
-    else:
-        rows = state.buf.at[safe].get(indices_are_sorted=True)
-        g = grad.at[safe].get(indices_are_sorted=True)
+    rows = state.buf.at[safe].get(indices_are_sorted=True)  # [U, 3D]
+    g = grad.at[safe].get(indices_are_sorted=True)
     p = rows[:, :d]
     mu_rows = rows[:, d:2 * d]
     nu_rows = rows[:, 2 * d:]
@@ -208,6 +205,8 @@ def fused_row_adam_update(
 
     new_rows = jnp.concatenate([p + upd, mu_new, nu_new], axis=1)
     if rowio:
+        from sparrowrecsys_tpu.ops.rowio import rows_write_pallas
+
         buf = rows_write_pallas(state.buf, uids, new_rows)
     else:
         buf = state.buf.at[uids].set(

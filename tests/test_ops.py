@@ -604,10 +604,11 @@ class TestRowIO:
         ref[np.asarray(ids)] = np.asarray(rows)
         np.testing.assert_array_equal(np.asarray(out2), ref)
 
-    def test_wide_rows_chunk_per_lane_tile(self):
-        """D > 128 rows (e.g. the fused [V, 3D] optimizer buffer) go as
-        one DMA per 128-lane chunk — Mosaic rejects 1-row slices of
-        multi-lane-tile memrefs (measured on v5e, pallas_rowio_probe)."""
+    def test_wide_rows_fall_back_to_xla(self):
+        """D != 128 rows (e.g. the fused [V, 3D] optimizer buffer) fall
+        back to the XLA ops — Mosaic rejects 1-row slices of anything
+        but a single f32 lane tile (measured on v5e,
+        pallas_rowio_probe; chunking to (1, 128) also fails)."""
         g, w, table, ids, rows = self._setup(d=384)
         out = g(table, ids, block=32, interpret=True)
         np.testing.assert_array_equal(
@@ -618,12 +619,15 @@ class TestRowIO:
         ref[np.asarray(ids)] = np.asarray(rows)
         np.testing.assert_array_equal(np.asarray(out2), ref)
 
-    def test_unaligned_wide_rows_fall_back(self):
-        from sparrowrecsys_tpu.ops.rowio import _row_parts
+    def test_support_gate_is_exactly_f32_128(self):
+        import jax.numpy as jnp
 
-        assert _row_parts(128, np.float32) == 1
-        assert _row_parts(384, np.float32) == 3
-        assert _row_parts(200, np.float32) == 0  # not a tile multiple
+        from sparrowrecsys_tpu.ops.rowio import _rowio_supported
+
+        assert _rowio_supported(128, np.float32)
+        assert not _rowio_supported(384, np.float32)
+        assert not _rowio_supported(64, np.float32)
+        assert not _rowio_supported(128, jnp.bfloat16)
         g, w, table, ids, rows = self._setup(d=200)
         out = g(table, ids, block=32, interpret=True)  # XLA fallback
         np.testing.assert_array_equal(

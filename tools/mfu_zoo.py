@@ -201,6 +201,11 @@ def main() -> None:
                     help="rematerialize the DIEN GRU/AUGRU scan bodies "
                     "(drops the [T,B,H] residual stacks; the knob for "
                     "batches whose compile OOMs HBM)")
+    ap.add_argument("--bf16-moments", action="store_true",
+                    help="TrainConfig.big_moment_dtype=bfloat16 — halves "
+                    "the big tables' Adam moment HBM (both stream bytes "
+                    "and residency; the quality cost is measured in "
+                    "BASELINE.md, tools/moment_dtype_ab.py)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -225,7 +230,12 @@ def main() -> None:
         )
         trainer = Trainer(
             model,
-            TrainConfig(batch_size=batch, epochs=1, shuffle_mode="blocks"),
+            TrainConfig(
+                batch_size=batch, epochs=1, shuffle_mode="blocks",
+                big_moment_dtype=(
+                    "bfloat16" if args.bf16_moments else "float32"
+                ),
+            ),
             loss_fn=loss_fn,
         )
         trainer._build_steps()

@@ -92,13 +92,30 @@ def train_flops_per_example(dim: int, hidden: int) -> float:
     return 3.0 * fwd
 
 
-def measure_epoch(trainer, data, labels, n, batch) -> float:
-    """Best-of-3 forced-sync seconds for one resident epoch."""
+def measure_epoch(trainer, data, labels, n, batch,
+                  bf16_tables: bool = False) -> float:
+    """Best-of-3 forced-sync seconds for one resident epoch.
+
+    bf16_tables: cast every >=2^17-element fp32 leaf (the id tables +
+    their bias columns) to bf16 — a THROUGHPUT CEILING for halving the
+    random-row bytes on the bytes-bound table traffic (gathers forward,
+    scatter backward, moment streams). Numerics are NOT production-grade
+    here (bf16 Adam on the cast leaves, no fp32 master) — this measures
+    what a proper master-weight implementation could buy before anyone
+    builds it."""
     sample = {
         k: np.zeros((2,), np.int32 if v.dtype == jnp.int32 else np.float32)
         for k, v in data.items()
     }
     params = trainer.init_params(sample)
+    if bf16_tables:
+        params = jax.tree.map(
+            lambda x: (
+                x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 and x.size >= (1 << 17) else x
+            ),
+            params,
+        )
     opt0 = trainer.init_opt_state(params)
     if trainer.sparse_tables:
         # fused lazy Adam: tables live in the opt buffers, params carry
@@ -246,6 +263,11 @@ def main() -> None:
                     help="row-sparse (lazy) Adam for the movieId/userId "
                     "tables (training/row_optim.py) — dense moment "
                     "streaming on the 2^20-row table measured 5.7 ms/step")
+    ap.add_argument("--bf16-tables", action="store_true",
+                    help="cast the big id tables (+bias columns) to bf16 "
+                    "— the throughput CEILING for halving the bytes-bound "
+                    "random-row traffic; NOT production numerics (no fp32 "
+                    "master), see measure_epoch docstring")
     ap.add_argument("--shuffle-mode", default="exact",
                     choices=("exact", "blocks"),
                     help="epoch shuffle: the exact row permute costs ~8 "
@@ -285,7 +307,8 @@ def main() -> None:
                         sparse_tables=sparse,
                     )
                     trainer._build_steps()
-                    secs = measure_epoch(trainer, data, labels, n, batch)
+                    secs = measure_epoch(trainer, data, labels, n, batch,
+                                         bf16_tables=args.bf16_tables)
                     tflops = flops_ex * n / secs / 1e12
                     mfu = tflops / (V5E_BF16_PEAK / 1e12) * 100
                     xf = xla_flops(trainer, data, labels, n, batch)

@@ -32,6 +32,10 @@ class EmbeddingMLP(nn.Module):
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
+    #: cast the id tables to this dtype BEFORE the gather (fp32 master
+    #: weights; halves the bytes-bound random-row traffic — measured
+    #: −6 ms/step at the MFU shape, BASELINE.md). None = param dtype.
+    lookup_dtype: str | None = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -39,10 +43,12 @@ class EmbeddingMLP(nn.Module):
         for col in GENRE_COLS:
             parts.append(GenreEmbed(dim=self.dim, name=f"emb_{col}")(features[col]))
         parts.append(
-            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(features["movieId"])
+            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId",
+                    lookup_dtype=self.lookup_dtype)(features["movieId"])
         )
         parts.append(
-            IdEmbed(self.user_buckets, self.dim, name="emb_userId")(features["userId"])
+            IdEmbed(self.user_buckets, self.dim, name="emb_userId",
+                    lookup_dtype=self.lookup_dtype)(features["userId"])
         )
         dt = compute_dtype(self.compute_dtype)
         x = jnp.concatenate(parts, axis=-1)

@@ -67,15 +67,28 @@ class GenreEmbed(nn.Module):
 class IdEmbed(nn.Module):
     """Identity-bucket id embedding (movieId 1001 / userId 30001).
 
-    `idx=None` returns the raw table (see GenreEmbed)."""
+    `idx=None` returns the raw table (see GenreEmbed).
+
+    lookup_dtype (e.g. "bfloat16"): cast the table BEFORE the gather —
+    params stay fp32 master weights for the optimizer, but the
+    random-row traffic (the measured bytes-bound wall: gathers forward,
+    scatter backward) moves at half width, for one cheap streaming
+    convert of the table per step. Under a bf16 tower this is
+    value-identical forward (cast-then-gather == gather-then-cast row
+    for row); backward accumulates duplicate-id cotangents in bf16
+    before the fp32 convert — quality A/B'd (BASELINE.md bf16-lookup
+    section). None = param dtype (default)."""
 
     buckets: int
     dim: int = EMBEDDING_DIM
     mask_zero: bool = False
+    lookup_dtype: str | None = None
 
     @nn.compact
     def __call__(self, idx: jnp.ndarray | None) -> jnp.ndarray:
         table = self.param("table", uniform_embed_init(), (self.buckets, self.dim))
+        if self.lookup_dtype is not None:
+            table = table.astype(compute_dtype(self.lookup_dtype))
         if idx is None:
             return table
         return embed_lookup(table, idx, mask_zero=self.mask_zero)

@@ -339,3 +339,30 @@ def test_dien_aux_norm_mean_scales_by_valid_steps(ds):
         np.asarray(aux_m), np.asarray(aux_s) / np.maximum(valid, 1),
         rtol=1e-6,
     )
+
+
+def test_embedding_mlp_bf16_lookup_matches_bf16_tower():
+    """lookup_dtype='bfloat16' (cast-then-gather, fp32 master params)
+    produces the same forward as the default bf16 tower (gather-then-
+    cast): bf16(row) is the value either way."""
+    import numpy as np
+
+    from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset
+    from sparrowrecsys_tpu.models import build_model
+
+    ds = synthetic_ctr_dataset(64, seed=3)
+    feats = {k: jnp.asarray(v) for k, v in ds.features.items()}
+    base = build_model("embedding_mlp", compute_dtype="bfloat16")
+    fast = build_model("embedding_mlp", compute_dtype="bfloat16",
+                       lookup_dtype="bfloat16")
+    params = base.init(jax.random.PRNGKey(0), feats)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(base.apply({"params": params}, feats)),
+        np.asarray(fast.apply({"params": params}, feats)),
+    )
+    # Grads exist and params stay fp32 (master weights).
+    def loss(p, m):
+        return jnp.sum(m.apply({"params": p}, feats) ** 2)
+
+    g = jax.grad(loss)(params, fast)
+    assert g["emb_userId"]["table"].dtype == jnp.float32

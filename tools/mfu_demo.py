@@ -263,6 +263,11 @@ def main() -> None:
                     help="row-sparse (lazy) Adam for the movieId/userId "
                     "tables (training/row_optim.py) — dense moment "
                     "streaming on the 2^20-row table measured 5.7 ms/step")
+    ap.add_argument("--lookup-dtype", default="",
+                    help="EmbeddingMLP lookup_dtype (e.g. bfloat16): cast "
+                    "tables BEFORE the gather — fp32 master weights, "
+                    "halved random-row bytes; the PRODUCTION variant of "
+                    "what --bf16-tables ceilings")
     ap.add_argument("--bf16-tables", action="store_true",
                     help="cast the big id tables (+bias columns) to bf16 "
                     "— the throughput CEILING for halving the bytes-bound "
@@ -294,6 +299,7 @@ def main() -> None:
                         "embedding_mlp", dim=dim, hidden=hidden,
                         compute_dtype=dt, user_buckets=args.user_vocab,
                         movie_buckets=args.movie_vocab,
+                        lookup_dtype=args.lookup_dtype or None,
                     )
                     sparse = (
                         {"emb_userId": ("userId",),

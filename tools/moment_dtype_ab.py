@@ -92,6 +92,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--vocab", type=int, default=1 << 16)
     ap.add_argument("--models", default="embedding_mlp,deepfm")
+    ap.add_argument("--ab", default="moments", choices=("moments", "lookup"),
+                    help="which option to A/B: 'moments' = bf16 big-table "
+                    "Adam moments; 'lookup' = IdEmbed lookup_dtype "
+                    "bfloat16 (cast-before-gather, fp32 master — "
+                    "embedding_mlp only)")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -110,12 +115,21 @@ def main() -> None:
         for dtype in ("float32", "bfloat16"):
             aucs = []
             for seed in range(args.seeds):
-                cfg = TrainConfig(batch_size=args.batch_size,
-                                  epochs=args.epochs, seed=seed,
-                                  big_moment_dtype=dtype)
+                cfg = TrainConfig(
+                    batch_size=args.batch_size, epochs=args.epochs,
+                    seed=seed,
+                    big_moment_dtype=(
+                        dtype if args.ab == "moments" else "float32"
+                    ),
+                )
+                kw = {"movie_buckets": args.vocab}
+                if args.ab == "lookup":
+                    kw["lookup_dtype"] = (
+                        None if dtype == "float32" else "bfloat16"
+                    )
                 t0 = time.perf_counter()
                 res = Trainer(
-                    build_model(name, movie_buckets=args.vocab), cfg
+                    build_model(name, **kw), cfg
                 ).fit(train_ds, test=test_ds, verbose=False)
                 auc = res.eval_metrics["roc_auc"]
                 aucs.append(auc)

@@ -186,6 +186,9 @@ def bench_mfu(dim: int = 128, hidden: int = 1024, batch: int = 262144,
     model = build_model(
         "embedding_mlp", dim=dim, hidden=hidden, compute_dtype="bfloat16",
         user_buckets=user_vocab, movie_buckets=movie_vocab,
+        # bf16 cast-before-gather: quality-neutral (A/B at 3 Zipf seeds,
+        # BASELINE.md bf16-lookup section), −1.3 ms at this shape.
+        lookup_dtype="bfloat16",
     )
     trainer = Trainer(
         model,
@@ -201,7 +204,7 @@ def bench_mfu(dim: int = 128, hidden: int = 1024, batch: int = 262144,
         "tflops": round(tflops, 1),
         "mfu_pct_v5e_bf16_peak": round(tflops / (V5E_BF16_PEAK / 1e12) * 100, 1),
         "config": f"embedding_mlp dim{dim} hidden{hidden} batch{batch} "
-        f"bf16 {user_vocab}-row user table, blocks shuffle "
+        f"bf16 {user_vocab}-row user table, blocks shuffle, bf16 lookup "
         "(tools/mfu_demo.py protocol)",
     }
 

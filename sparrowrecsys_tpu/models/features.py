@@ -88,7 +88,14 @@ class IdEmbed(nn.Module):
     def __call__(self, idx: jnp.ndarray | None) -> jnp.ndarray:
         table = self.param("table", uniform_embed_init(), (self.buckets, self.dim))
         if self.lookup_dtype is not None:
-            table = table.astype(compute_dtype(self.lookup_dtype))
+            # The barrier forces the narrow copy to MATERIALIZE in HBM
+            # (one streaming convert) — without it XLA fuses the convert
+            # into the gather, which still reads full-width rows and
+            # saves nothing (measured: 53.7 -> 52.3 ms fused vs 47.6
+            # ceiling at the MFU shape, BASELINE.md bf16-lookup section).
+            table = jax.lax.optimization_barrier(
+                table.astype(compute_dtype(self.lookup_dtype))
+            )
         if idx is None:
             return table
         return embed_lookup(table, idx, mask_zero=self.mask_zero)

@@ -51,6 +51,12 @@ class DeepFM(nn.Module):
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
+    #: cast the big id tables (+their bias columns via the merge) to
+    #: this dtype BEFORE the gather — fp32 master params, halved
+    #: random-row bytes on the model's BINDING resource (the zoo MFU
+    #: table measured both deepfm variants embedding-bound at 13-14%).
+    #: Quality-neutral per the Zipf A/B (BASELINE.md bf16-lookup).
+    lookup_dtype: str | None = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -58,12 +64,14 @@ class DeepFM(nn.Module):
         # (merged_embed_bias: +72% full-step, bitwise identical; param
         # paths are those of the unfused modules).
         item, b_item = merged_embed_bias(
-            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(None),
+            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId",
+                    lookup_dtype=self.lookup_dtype)(None),
             IdBias(self.movie_buckets, name="bias_movieId")(None),
             features["movieId"],
         )
         user, b_user = merged_embed_bias(
-            IdEmbed(self.user_buckets, self.dim, name="emb_userId")(None),
+            IdEmbed(self.user_buckets, self.dim, name="emb_userId",
+                    lookup_dtype=self.lookup_dtype)(None),
             IdBias(self.user_buckets, name="bias_userId")(None),
             features["userId"],
         )
@@ -110,6 +118,12 @@ class DeepFMv2(nn.Module):
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
+    #: cast the big id tables (+their bias columns via the merge) to
+    #: this dtype BEFORE the gather — fp32 master params, halved
+    #: random-row bytes on the model's BINDING resource (the zoo MFU
+    #: table measured both deepfm variants embedding-bound at 13-14%).
+    #: Quality-neutral per the Zipf A/B (BASELINE.md bf16-lookup).
+    lookup_dtype: str | None = None
     #: deep tower widths deep1=deep_hidden, deep2=deep_hidden//2
     #: (reference 32/16, DeepFM_v2.py:126-128); scalable for
     #: production-shape MFU configs.
@@ -119,12 +133,14 @@ class DeepFMv2(nn.Module):
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         # Merged emb+bias gathers — see DeepFM above / merged_embed_bias.
         item, b_item = merged_embed_bias(
-            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(None),
+            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId",
+                    lookup_dtype=self.lookup_dtype)(None),
             IdBias(self.movie_buckets, name="bias_movieId")(None),
             features["movieId"],
         )
         user, b_user = merged_embed_bias(
-            IdEmbed(self.user_buckets, self.dim, name="emb_userId")(None),
+            IdEmbed(self.user_buckets, self.dim, name="emb_userId",
+                    lookup_dtype=self.lookup_dtype)(None),
             IdBias(self.user_buckets, name="bias_userId")(None),
             features["userId"],
         )

@@ -122,6 +122,11 @@ class DIEN(nn.Module):
     #: T in [16, 64) unmeasured — set explicitly to override).
     #: BASELINE.md round-5 DIEN memory section.
     recurrence_remat: Optional[bool] = None
+    #: bf16 cast-before-gather for the shared movie table + user table
+    #: (fp32 master params; quality-neutral per the Zipf A/B,
+    #: BASELINE.md bf16-lookup section). Recurrence inputs get cast to
+    #: fp32 at the GRU (state feedback stays fp32). None = param dtype.
+    lookup_dtype: Optional[str] = None
 
     def _gru_params(self, name: str, in_dim: int, h_dim: int) -> GRUParams:
         return GRUParams(
@@ -153,7 +158,8 @@ class DIEN(nn.Module):
         term to combine per `aux_mode` (see `dien_loss`)."""
         d = self.dim
         movie_emb = IdEmbed(
-            self.movie_buckets, d, mask_zero=True, name="emb_movie_shared"
+            self.movie_buckets, d, mask_zero=True,
+            name="emb_movie_shared", lookup_dtype=self.lookup_dtype,
         )
         t = self.recent_movies
         hist_ids = history_stack(features, t)                       # [B, T]
@@ -225,7 +231,8 @@ class DIEN(nn.Module):
 
         user_profile = jnp.concatenate(
             [
-                IdEmbed(self.user_buckets, d, name="emb_userId")(features["userId"]),
+                IdEmbed(self.user_buckets, d, name="emb_userId",
+                        lookup_dtype=self.lookup_dtype)(features["userId"]),
                 GenreEmbed(dim=d, name="emb_userGenre1")(features["userGenre1"]),
                 numeric_stack(
                     features, ("userRatingCount", "userAvgRating", "userRatingStddev")

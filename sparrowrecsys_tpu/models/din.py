@@ -43,6 +43,12 @@ class DIN(nn.Module):
     user_buckets: int = USER_VOCAB_SIZE
     attention_hidden: int = 32
     compute_dtype: str = "float32"
+    #: bf16 cast-before-gather for the big id tables (fp32 master
+    #: params; quality-neutral per the Zipf A/B, BASELINE.md
+    #: bf16-lookup section). None = param dtype. For the sequence
+    #: models this halves the HISTORY row traffic — the measured
+    #: binding resource of the DIN T=64 production row.
+    lookup_dtype: str | None = None
     #: behaviour-sequence length; 5 = reference parity (`DIN.py:31`),
     #: larger values consume build_samples(history_length=N) columns.
     #: XLA is the measured default at every T (KERNELS.md); the fused
@@ -56,7 +62,8 @@ class DIN(nn.Module):
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         movie_emb = IdEmbed(
-            self.movie_buckets, self.dim, mask_zero=True, name="emb_movie_shared"
+            self.movie_buckets, self.dim, mask_zero=True,
+            name="emb_movie_shared", lookup_dtype=self.lookup_dtype,
         )
         # Candidate rides the history gather: ONE [B, T+1] lookup of the
         # shared table instead of two (random gathers are the step's cost
@@ -88,7 +95,8 @@ class DIN(nn.Module):
 
         user_profile = jnp.concatenate(
             [
-                IdEmbed(self.user_buckets, self.dim, name="emb_userId")(
+                IdEmbed(self.user_buckets, self.dim, name="emb_userId",
+                        lookup_dtype=self.lookup_dtype)(
                     features["userId"]
                 ),
                 GenreEmbed(dim=self.dim, name="emb_userGenre1")(features["userGenre1"]),

@@ -49,6 +49,10 @@ def cross_hash(a: jnp.ndarray, b: jnp.ndarray, buckets: int) -> jnp.ndarray:
 class WideNDeep(nn.Module):
     hidden: int = 128
     compute_dtype: str = "float32"
+    #: bf16 cast-before-gather for the big id tables (fp32 master
+    #: params; quality-neutral per the Zipf A/B, BASELINE.md
+    #: bf16-lookup section). None = param dtype.
+    lookup_dtype: str | None = None
     dim: int = EMBEDDING_DIM
     movie_buckets: int = MOVIE_VOCAB_SIZE
     user_buckets: int = USER_VOCAB_SIZE
@@ -60,10 +64,12 @@ class WideNDeep(nn.Module):
         for col in GENRE_COLS:
             parts.append(GenreEmbed(dim=self.dim, name=f"emb_{col}")(features[col]))
         parts.append(
-            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId")(features["movieId"])
+            IdEmbed(self.movie_buckets, self.dim, name="emb_movieId",
+                    lookup_dtype=self.lookup_dtype)(features["movieId"])
         )
         parts.append(
-            IdEmbed(self.user_buckets, self.dim, name="emb_userId")(features["userId"])
+            IdEmbed(self.user_buckets, self.dim, name="emb_userId",
+                    lookup_dtype=self.lookup_dtype)(features["userId"])
         )
         dt = compute_dtype(self.compute_dtype)
         deep = jnp.concatenate(parts, axis=-1)

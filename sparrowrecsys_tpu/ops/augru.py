@@ -208,7 +208,11 @@ def gru(
 
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
-    h0 = jnp.zeros((b, h_dim), x.dtype)
+    # Carry dtype follows the PROJECTED gates, not the raw input: with a
+    # bf16 table lookup (models' lookup_dtype) x is bf16 but the matmul
+    # promotes to f32 — an x-dtype h0 would make the scan carry change
+    # dtype across steps (scan error). State feedback stays fp32.
+    h0 = jnp.zeros((b, h_dim), gates_x_all.dtype)
     if custom_vjp and remat:
         raise ValueError("gru: custom_vjp and remat are mutually exclusive")
     fn = (

@@ -88,10 +88,10 @@ def gen_epoch(n, user_vocab, movie_vocab, t):
 
 
 def model_config(name, dim, hidden, t, user_vocab, movie_vocab, aux,
-                 remat=False):
+                 remat=None, lookup_dtype=None):
     """(model, loss_fn, fwd_flops_per_example, n_hist_cols)."""
     kw = dict(dim=dim, compute_dtype="bfloat16", user_buckets=user_vocab,
-              movie_buckets=movie_vocab)
+              movie_buckets=movie_vocab, lookup_dtype=lookup_dtype)
     if name == "embedding_mlp":
         m = build_model(name, hidden=hidden, **kw)
         f = 2.0 * ((10 * dim + 7) * hidden + hidden * hidden + hidden)
@@ -201,6 +201,11 @@ def main() -> None:
                     help="rematerialize the DIEN GRU/AUGRU scan bodies "
                     "(drops the [T,B,H] residual stacks; the knob for "
                     "batches whose compile OOMs HBM)")
+    ap.add_argument("--lookup-dtype", default="",
+                    help="bf16 cast-before-gather on the big id tables "
+                    "(fp32 master params; quality-neutral per the Zipf "
+                    "A/B) — halves the embedding-bound models' binding "
+                    "bytes")
     ap.add_argument("--bf16-moments", action="store_true",
                     help="TrainConfig.big_moment_dtype=bfloat16 — halves "
                     "the big tables' Adam moment HBM (both stream bytes "
@@ -226,7 +231,9 @@ def main() -> None:
         )(jax.random.PRNGKey(0))
         model, loss_fn, fwd_f, _ = model_config(
             name, args.dim, args.hidden, t, args.user_vocab,
-            args.movie_vocab, aux, remat=args.remat,
+            args.movie_vocab, aux,
+            remat=True if args.remat else None,  # None = model auto (T>=64)
+            lookup_dtype=args.lookup_dtype or None,
         )
         trainer = Trainer(
             model,

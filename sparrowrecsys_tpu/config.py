@@ -120,6 +120,15 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-7          # Keras Adam epsilon (TF default), not optax's 1e-8
+    #: store the BIG embedding tables (>= optim.SMALL_LEAF_MAX_ELEMS
+    #: elements) in bfloat16 with fp32 MASTER weights in the optimizer
+    #: state (grouped_adam master_weights): halves the dense update's
+    #: param streams AND the gather/scatter row widths end-to-end —
+    #: the production form of the mfu_demo --bf16-tables ceiling.
+    #: Quality A/B'd (tools/moment_dtype_ab --ab params, BASELINE.md);
+    #: fp32 stays default. Orthogonal to lookup_dtype (which narrows
+    #: only the lookup view of fp32 tables).
+    bf16_table_params: bool = False
     #: route the row-sparse (lazy) Adam's [U, 3D] gather/scatter through
     #: the Pallas row-DMA kernels (ops/rowio.py) instead of XLA's tiled
     #: gather/scatter. Only meaningful with Trainer(sparse_tables=...);

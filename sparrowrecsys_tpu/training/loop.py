@@ -107,6 +107,7 @@ class Trainer:
                 if self.config.big_moment_dtype == "float32"
                 else jnp.dtype(self.config.big_moment_dtype)
             ),
+            master_weights=self.config.bf16_table_params,
         )
         self._train_step = None
         self._train_step_indexed = None
@@ -171,6 +172,20 @@ class Trainer:
             # in-graph negatives) supply them for shape inference here.
             feats = prep(feats)
         params = self.model.init(jax.random.PRNGKey(seed), feats)["params"]
+        if self.config.bf16_table_params:
+            from sparrowrecsys_tpu.training.optim import SMALL_LEAF_MAX_ELEMS
+
+            # Narrow STORAGE for the big tables; grouped_adam keeps an
+            # fp32 master per narrowed leaf (master_weights=True below)
+            # so update math never loses bits to the bf16 copy.
+            params = jax.tree.map(
+                lambda x: (
+                    x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    and x.size >= SMALL_LEAF_MAX_ELEMS else x
+                ),
+                params,
+            )
         if self.plan is not None:
             params = shard_params(params, self.plan)
         return params

@@ -34,6 +34,11 @@ class GroupedAdamState(NamedTuple):
     nu_vec: jnp.ndarray         # second moment, fused small leaves
     mu_big: Any                 # list of per-leaf first moments
     nu_big: Any                 # list of per-leaf second moments
+    #: fp32 MASTER copies for narrow-float big leaves (bf16 table
+    #: params, TrainConfig.bf16_table_params); () when master_weights
+    #: is off, else a list aligned with the big leaves (None for leaves
+    #: that are already fp32 / non-float).
+    master_big: Any = ()
 
 
 def grouped_adam(
@@ -43,6 +48,7 @@ def grouped_adam(
     eps: float = 1e-8,
     small_max_elems: int = SMALL_LEAF_MAX_ELEMS,
     big_moment_dtype=None,
+    master_weights: bool = False,
 ) -> optax.GradientTransformation:
     """big_moment_dtype (e.g. jnp.bfloat16): storage dtype for the BIG
     leaves' mu/nu — the embedding tables, where the optimizer's HBM bytes
@@ -52,7 +58,18 @@ def grouped_adam(
     Small fused leaves always keep fp32 moments — they're dispatch-bound,
     not bytes-bound, so narrowing them risks quality for nothing.
     None (default) = fp32 everywhere; quality A/B in BASELINE.md
-    (tools/moment_dtype_ab.py) before flipping any recipe to bf16."""
+    (tools/moment_dtype_ab.py) before flipping any recipe to bf16.
+
+    master_weights: for big leaves STORED narrow (bf16 table params —
+    halves the dense update's param read+write streams AND the fwd
+    gather/bwd scatter widths) keep an fp32 MASTER in the state; Adam
+    updates the master, and the emitted update rebases the narrow param
+    onto bf16(master) each step — p tracks bf16(master) to ~1 bf16 ulp
+    of max(|p|, |step movement|), and the error does NOT compound
+    because the target is recomputed from the exact fp32 master every
+    step (asserted in tests/test_optim.py; the master trajectory itself
+    is bitwise the fp32-Adam trajectory). The update math never reads
+    the narrow copy. Quality A/B'd like every other narrowing option."""
     def _split_plan(params):
         leaves, treedef = jax.tree_util.tree_flatten(params)
         small, big = [], []
@@ -76,18 +93,33 @@ def grouped_adam(
         )
         return vec, [ls[i] for i in big]
 
+    def _needs_master(leaf):
+        return (
+            master_weights
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.dtype != jnp.float32
+        )
+
     def init(params):
         _, leaves, small, big, _, _ = _split_plan(params)
         vec, bigs = _to_groups(params, small, big)
         z = lambda x: jnp.zeros_like(x)
         zb = (
             (lambda x: jnp.zeros(x.shape, big_moment_dtype))
-            if big_moment_dtype is not None else z
+            if big_moment_dtype is not None
+            else (lambda x: jnp.zeros(x.shape, jnp.float32)
+                  if _needs_master(x) else jnp.zeros_like(x))
+        )
+        masters = (
+            [b.astype(jnp.float32) if _needs_master(b) else None
+             for b in bigs]
+            if master_weights else ()
         )
         return GroupedAdamState(
             count=jnp.zeros((), jnp.int32),
             mu_vec=z(vec), nu_vec=z(vec),
             mu_big=[zb(b) for b in bigs], nu_big=[zb(b) for b in bigs],
+            master_big=masters,
         )
 
     def update(grads, state, params=None):
@@ -106,7 +138,39 @@ def grouped_adam(
 
         mu_vec, nu_vec, upd_vec = adam_one(state.mu_vec, state.nu_vec, gvec)
         mu_big, nu_big, upd_big = [], [], []
-        for mu, nu, g in zip(state.mu_big, state.nu_big, gbig):
+        masters = (
+            list(state.master_big) if master_weights
+            else [None] * len(gbig)
+        )
+        pbig = (
+            _to_groups(params, small, big)[1]
+            if master_weights and params is not None else [None] * len(gbig)
+        )
+        for k, (mu, nu, g) in enumerate(zip(state.mu_big, state.nu_big,
+                                            gbig)):
+            if masters[k] is not None:
+                # Narrow-stored leaf: fp32 math against the master; the
+                # emitted update REBASES the narrow param onto
+                # bf16(master') (requires params in update(), which the
+                # Trainer passes).
+                g32 = g.astype(jnp.float32)
+                m2, n2, u32 = adam_one(
+                    mu.astype(jnp.float32), nu.astype(jnp.float32), g32
+                )
+                new_master = masters[k] + u32
+                masters[k] = new_master
+                p = pbig[k]
+                u = (
+                    new_master.astype(p.dtype).astype(jnp.float32)
+                    - p.astype(jnp.float32)
+                ).astype(p.dtype)
+                if big_moment_dtype is not None:
+                    m2 = m2.astype(big_moment_dtype)
+                    n2 = n2.astype(big_moment_dtype)
+                mu_big.append(m2)
+                nu_big.append(n2)
+                upd_big.append(u)
+                continue
             m2, n2, u = adam_one(
                 mu.astype(g.dtype), nu.astype(g.dtype), g
             )
@@ -126,6 +190,9 @@ def grouped_adam(
         for j, i in enumerate(big):
             out[i] = upd_big[j]
         updates = jax.tree_util.tree_unflatten(treedef, out)
-        return updates, GroupedAdamState(count, mu_vec, nu_vec, mu_big, nu_big)
+        return updates, GroupedAdamState(
+            count, mu_vec, nu_vec, mu_big, nu_big,
+            masters if master_weights else (),
+        )
 
     return optax.GradientTransformation(init, update)

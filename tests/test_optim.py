@@ -130,3 +130,78 @@ def test_trainer_bf16_moments_trains():
     losses = [h["loss"] for h in res.history]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_master_weights_bf16_params_track_master():
+    """master_weights: a bf16-stored big leaf stays within 1 ulp of
+    bf16(fp32 master) across steps (the rebase never compounds), and
+    fp32/small leaves behave exactly as without masters."""
+    rng = np.random.default_rng(1)
+    master0 = rng.normal(size=(70000, 4)).astype(np.float32)
+    prev_tgt = master0.astype("bfloat16").astype(np.float32)
+    params = {
+        "table": jnp.asarray(master0).astype(jnp.bfloat16),
+        "w": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    tx = grouped_adam(1e-2, master_weights=True)
+    txref = grouped_adam(1e-2)
+    state = tx.init(params)
+    assert state.master_big[0].dtype == jnp.float32
+    # reference: pure fp32 Adam run on the master trajectory
+    ref_params = {"table": state.master_big[0], "w": params["w"]}
+    ref_state = txref.init(ref_params)
+    for step in range(5):
+        g32 = rng.normal(size=(70000, 4)).astype(np.float32)
+        grads = {"table": jnp.asarray(g32).astype(jnp.bfloat16),
+                 "w": jnp.asarray(rng.normal(size=(8,)).astype(np.float32))}
+        u, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, u)
+        ref_grads = {"table": jnp.asarray(grads["table"]).astype(jnp.float32),
+                     "w": grads["w"]}
+        ru, ref_state = txref.update(ref_grads, ref_state, ref_params)
+        ref_params = optax.apply_updates(ref_params, ru)
+        # master in state == the fp32 reference trajectory, bitwise
+        np.testing.assert_array_equal(
+            np.asarray(state.master_big[0]), np.asarray(ref_params["table"])
+        )
+        # bf16 params track bf16(master) to 1 ulp
+        tgt = np.asarray(ref_params["table"]).astype(
+            jnp.bfloat16.dtype if hasattr(jnp.bfloat16, "dtype") else "bfloat16"
+        ).astype(np.float32)
+        got = np.asarray(params["table"]).astype(np.float32)
+        err = np.abs(got - tgt)
+        # The rebase error is ~1 bf16 ulp of the larger of the target
+        # and this step's master MOVEMENT (the emitted delta rounds at
+        # the movement's exponent); it does not compound across steps.
+        move = np.abs(tgt - prev_tgt)
+        prev_tgt = tgt
+        scale = np.maximum(np.abs(tgt), move)
+        ulp = np.maximum(2.0 * scale * 2.0 ** -8, 2.0 ** -126)
+        assert (err <= ulp + 1e-30).all(), float(err.max())
+        # fp32 small leaf identical with and without master machinery
+        np.testing.assert_array_equal(
+            np.asarray(params["w"]), np.asarray(ref_params["w"])
+        )
+
+
+def test_trainer_bf16_table_params_trains():
+    from sparrowrecsys_tpu.config import TrainConfig
+    from sparrowrecsys_tpu.data.synthetic import synthetic_ctr_dataset
+    from sparrowrecsys_tpu.models import build_model
+    from sparrowrecsys_tpu.training.loop import Trainer
+
+    ds = synthetic_ctr_dataset(512)
+    trainer = Trainer(
+        build_model("embedding_mlp"),
+        TrainConfig(batch_size=128, epochs=3, seed=0,
+                    bf16_table_params=True),
+    )
+    # user table (30001 x 10 = 300k elems) crosses the big-leaf bar
+    sample = {k: v[:2] for k, v in ds.features.items()}
+    p = trainer.init_params(sample)
+    assert p["emb_userId"]["table"].dtype == jnp.bfloat16
+    assert p["emb_movieId"]["table"].dtype == jnp.float32  # small leaf
+    res = trainer.fit(ds, verbose=False)
+    losses = [h["loss"] for h in res.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

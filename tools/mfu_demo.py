@@ -268,6 +268,10 @@ def main() -> None:
                     "tables BEFORE the gather — fp32 master weights, "
                     "halved random-row bytes; the PRODUCTION variant of "
                     "what --bf16-tables ceilings")
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="TrainConfig.bf16_table_params: bf16 table "
+                    "STORAGE with fp32 master weights in the optimizer "
+                    "— the production form of --bf16-tables")
     ap.add_argument("--bf16-tables", action="store_true",
                     help="cast the big id tables (+bias columns) to bf16 "
                     "— the throughput CEILING for halving the bytes-bound "
@@ -309,7 +313,8 @@ def main() -> None:
                     trainer = Trainer(
                         model,
                         TrainConfig(batch_size=batch, epochs=1,
-                                    shuffle_mode=args.shuffle_mode),
+                                    shuffle_mode=args.shuffle_mode,
+                                    bf16_table_params=args.bf16_params),
                         sparse_tables=sparse,
                     )
                     trainer._build_steps()

@@ -92,11 +92,14 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--vocab", type=int, default=1 << 16)
     ap.add_argument("--models", default="embedding_mlp,deepfm")
-    ap.add_argument("--ab", default="moments", choices=("moments", "lookup"),
+    ap.add_argument("--ab", default="moments",
+                    choices=("moments", "lookup", "params"),
                     help="which option to A/B: 'moments' = bf16 big-table "
                     "Adam moments; 'lookup' = IdEmbed lookup_dtype "
                     "bfloat16 (cast-before-gather, fp32 master — "
-                    "embedding_mlp only)")
+                    "embedding_mlp only); 'params' = "
+                    "TrainConfig.bf16_table_params (bf16 table storage "
+                    "with fp32 master weights)")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -120,6 +123,9 @@ def main() -> None:
                     seed=seed,
                     big_moment_dtype=(
                         dtype if args.ab == "moments" else "float32"
+                    ),
+                    bf16_table_params=(
+                        args.ab == "params" and dtype == "bfloat16"
                     ),
                 )
                 kw = {"movie_buckets": args.vocab}

@@ -39,7 +39,6 @@ duplicates the last DMA wins nondeterministically.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -142,6 +142,15 @@ def grouped_adam(
             list(state.master_big) if master_weights
             else [None] * len(gbig)
         )
+        if master_weights and params is None and any(
+            m is not None for m in masters
+        ):
+            raise ValueError(
+                "grouped_adam(master_weights=True) needs params in "
+                "update() to rebase the narrow copies (the Trainer "
+                "passes them; bare optax-style update(grads, state) "
+                "cannot)"
+            )
         pbig = (
             _to_groups(params, small, big)[1]
             if master_weights and params is not None else [None] * len(gbig)
